@@ -1,0 +1,207 @@
+"""BPTT — analytic policy gradients through the differentiable simulator.
+
+TPU-native re-design of the reference BPTT trainer
+(`/root/reference/utils/algorithms/BPTT.py:77-180`): the H-step rollout that
+the reference unrolls eagerly in Python becomes ONE jitted ``lax.scan``
+containing policy, dynamics, reward and auto-reset; the whole update
+(rollout → backprop-through-time → clipped Adam step) is a single XLA
+program that never leaves the device.
+
+Semantics replicated:
+* stochastic actor actions clipped to the action space (`BPTT.py:112-115`)
+* actor loss ``Σ −r·d`` with the discount resetting on done:
+  ``d ← d·γ·(1−done) + done`` (`BPTT.py:123-124`)
+* grad-norm clip 0.5 + Adam (`BPTT.py:127-133`)
+* graph truncation between updates: ``env.detach()`` (`BPTT.py:134`) becomes
+  ``stop_gradient`` on the carried env state.
+* ``jax.checkpoint`` over the scan body rematerialises the substep chain in
+  the backward pass — the lax.scan equivalent of the horizon-memory concern
+  (SURVEY §5 long-context note).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+
+from ..envs.base import DroneGymEnv, EnvState
+from ..policies.networks import Actor
+
+
+class BPTTState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    obs: Dict[str, Array]
+    key: Array
+    global_step: Array  # () int32
+
+
+class BPTT:
+    """Analytic-gradient trainer. ``learn()`` runs the host loop; the
+    per-update computation is one jitted program."""
+
+    def __init__(
+        self,
+        env: DroneGymEnv,
+        policy: str = "MultiInputPolicy",  # accepted for reference parity
+        policy_kwargs: Optional[dict] = None,
+        learning_rate: float = 1e-3,
+        horizon: int = 32,
+        gamma: float = 0.99,
+        max_grad_norm: float = 0.5,
+        seed: int = 42,
+        remat: bool = True,
+        comment: Optional[str] = None,
+        save_path: Optional[str] = None,
+        **_ignored,
+    ):
+        self.env = env
+        self.H = int(horizon)
+        self.gamma = float(gamma)
+        self.seed = seed
+        self.remat = remat
+        self.comment = comment
+        self.save_path = save_path
+
+        pk = dict(policy_kwargs or {})
+        pk.setdefault("net_arch", None)
+        self.actor = Actor(
+            action_dim=env.action_size,
+            net_arch=pk.get("net_arch"),
+            latent_dim=tuple(pk.get("latent_dim", (256, 256))),
+            activation=pk.get("activation", "relu"),
+            layer_norm=pk.get("layer_norm", False),
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(learning_rate),
+        )
+        self._update = jax.jit(self._update_impl)
+
+    # -- setup ---------------------------------------------------------------
+
+    def init(self, key: Optional[Array] = None) -> BPTTState:
+        key = jax.random.PRNGKey(self.seed) if key is None else key
+        k_env, k_actor, k_run = jax.random.split(key, 3)
+        env_state, obs = self.env.reset(k_env)
+        params = self.actor.init(k_actor, obs, k_run)
+        return BPTTState(
+            params=params,
+            opt_state=self.tx.init(params),
+            env_state=env_state,
+            obs=obs,
+            key=k_run,
+            global_step=jnp.asarray(0, jnp.int32),
+        )
+
+    # -- one fully-jitted update ----------------------------------------------
+
+    def _rollout_loss(self, params, env_state, obs, key):
+        env = self.env
+        n = env.num_envs
+
+        def body(carry, _):
+            env_state, obs, discount, key, loss = carry
+            key, k_act = jax.random.split(key)
+            action, _logp = self.actor.apply(params, obs, k_act)
+            action = jnp.clip(action, -1.0, 1.0)
+            env_state, out = env.step(env_state, action)
+            done = out.done.astype(loss.dtype)
+            loss = loss - out.reward * discount
+            discount = discount * self.gamma * (1.0 - done) + done
+            metrics = (out.reward, out.done, out.info["is_success"])
+            return (env_state, out.obs, discount, key, loss), metrics
+
+        if self.remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+
+        discount0 = jnp.ones((n,), jnp.float32)
+        loss0 = jnp.zeros((n,), jnp.float32)
+        (env_state, obs, _d, key, loss), metrics = jax.lax.scan(
+            body, (env_state, obs, discount0, key, loss0), None, length=self.H
+        )
+        return loss.mean(), (env_state, obs, key, metrics)
+
+    def _update_impl(self, st: BPTTState) -> Tuple[BPTTState, Dict[str, Array]]:
+        (loss, (env_state, obs, key, metrics)), grads = jax.value_and_grad(
+            self._rollout_loss, has_aux=True
+        )(st.params, st.env_state, st.obs, st.key)
+
+        updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
+        params = optax.apply_updates(st.params, updates)
+
+        # env.detach(): truncate BPTT between updates (`BPTT.py:134`)
+        env_state = jax.lax.stop_gradient(env_state)
+        obs = jax.lax.stop_gradient(obs)
+
+        rewards, dones, succ = metrics
+        out_metrics = {
+            "actor_loss": loss,
+            "reward_mean": rewards.mean(),
+            "done_rate": dones.mean(),
+            "success_rate": succ.mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        st = BPTTState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            global_step=st.global_step + self.H * self.env.num_envs,
+        )
+        return st, out_metrics
+
+    def update(self, st: BPTTState) -> Tuple[BPTTState, Dict[str, Array]]:
+        return self._update(st)
+
+    # -- host training loop -----------------------------------------------------
+
+    def learn(
+        self,
+        total_timesteps: int,
+        state: Optional[BPTTState] = None,
+        log_interval: int = 10,
+        callback: Optional[Callable] = None,
+    ) -> BPTTState:
+        st = self.init() if state is None else state
+        steps_per_update = self.H * self.env.num_envs
+        n_updates = max(1, int(total_timesteps) // steps_per_update)
+        t0 = time.time()
+        for i in range(n_updates):
+            st, metrics = self.update(st)
+            if callback is not None:
+                callback(i, st, metrics)
+            if log_interval and (i % log_interval == 0 or i == n_updates - 1):
+                m = jax.device_get(metrics)
+                fps = (i + 1) * steps_per_update / max(time.time() - t0, 1e-9)
+                print(
+                    f"[BPTT] update {i + 1}/{n_updates} "
+                    f"loss={m['actor_loss']:.4f} r̄={m['reward_mean']:.4f} "
+                    f"success={m['success_rate']:.2%} fps={fps:.0f}",
+                    flush=True,
+                )
+        return st
+
+    # -- checkpointing -----------------------------------------------------------
+
+    def save(self, st: BPTTState, path: str):
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(path, {"params": st.params, "opt_state": st.opt_state})
+
+    def load(self, st: BPTTState, path: str) -> BPTTState:
+        from ..utils.checkpoint import load_pytree
+
+        data = load_pytree(path, {"params": st.params, "opt_state": st.opt_state})
+        return st._replace(params=data["params"], opt_state=data["opt_state"])
+
+    def predict(self, st: BPTTState, obs: Dict[str, Array]) -> Array:
+        action, _ = self.actor.apply(st.params, obs, deterministic=True)
+        return jnp.clip(action, -1.0, 1.0)

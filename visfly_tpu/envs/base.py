@@ -1,0 +1,422 @@
+"""Gym-style vectorised drone environment core, fully functional.
+
+Re-design of the reference's three mutable layers —
+``DroneEnvsBase`` (`/root/reference/envs/base/droneEnv.py`),
+``DroneGymEnvsBase`` (`/root/reference/envs/base/droneGymEnv.py`) and the
+SB3 ``VecEnv`` surface — as one pure state-transition system:
+
+    state', out = env.step(state, action)        # jit / vmap / grad / scan
+
+* All ``num_scene × num_agent_per_scene`` agents advance in one fused XLA
+  computation (the reference's batched-tensor loop, `droneGymEnv.py:48-66`).
+* Auto-reset happens *inside* the step under ``lax``-select masks (the
+  reference's ``examine()``/``reset_agent_by_id`` host round-trip,
+  `droneGymEnv.py:420-423`) — returned observations are post-reset, while
+  reward/done/info describe the pre-reset transition, matching SB3 VecEnv
+  semantics.
+* For differentiable training (``requires_grad`` path,
+  `droneGymEnv.py:209-218`) gradients flow through the dynamics; reset
+  boundaries are ``stop_gradient``-ed exactly where the reference calls
+  ``detach()``.
+* Episode bookkeeping (`droneGymEnv.py:119-207`): step counts, success /
+  failure hooks, collision & out-of-bounds termination, timeout truncation,
+  episode return/length accounting — all as (N,) arrays in ``EnvState``.
+
+Subclasses implement the same four hooks as the reference env zoo:
+``get_observation`` / ``get_reward`` / ``get_success`` / ``get_failure``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..core import quaternion as quat
+from ..dynamics import (
+    DroneConfig,
+    DynState,
+    make_drone_params,
+)
+from ..dynamics import dynamics as dyn_mod
+from . import randomization as rnd
+
+
+class CollisionInfo(NamedTuple):
+    """Per-agent closest-obstacle info (`droneEnv.py:335-371`)."""
+
+    point: Array  # (N, 3) closest point on obstacle/world boundary
+    vector: Array  # (N, 3) point - position
+    dis: Array  # (N,)
+    is_collision: Array  # (N,) bool — dis < uav_radius
+    is_out_bounds: Array  # (N,) bool
+
+
+class EnvState(NamedTuple):
+    """Complete environment state for N agents — one pytree."""
+
+    dyn: DynState
+    key: Array  # PRNG key threading all in-env randomness
+    step_count: Array  # (N,) int32
+    episode_done: Array  # (N,) bool — terminal (not timeout)
+    success: Array  # (N,) bool (this step)
+    failure: Array  # (N,) bool
+    collision: CollisionInfo
+    once_collided: Array  # (N,) bool since episode start
+    returns: Array  # (N,) accumulated episode reward
+    aux: Any = ()  # env-specific pytree (targets, gate idx, objects…)
+
+
+class StepOutput(NamedTuple):
+    obs: Dict[str, Array]
+    reward: Array  # (N,)
+    done: Array  # (N,) bool — terminal OR truncated (SB3 convention)
+    info: Dict[str, Array]
+
+
+class DroneGymEnv:
+    """Base env. Static container: construction is host-side Python; all
+    per-step work happens in the pure :meth:`reset` / :meth:`step`.
+
+    Constructor keyword surface mirrors the reference
+    (`droneGymEnv.py:20-36`): num_agent_per_scene, num_scene, seed, visual,
+    max_episode_steps, requires_grad, random_kwargs, dynamics_kwargs,
+    scene_kwargs, sensor_kwargs, is_collision_reset, uav_radius…
+    """
+
+    def __init__(
+        self,
+        num_agent_per_scene: int = 1,
+        num_scene: int = 1,
+        seed: int = 42,
+        visual: bool = False,
+        max_episode_steps: int = 256,
+        requires_grad: bool = False,
+        random_kwargs: Optional[dict] = None,
+        dynamics_kwargs: Optional[dict] = None,
+        scene_kwargs: Optional[dict] = None,
+        sensor_kwargs: Optional[Sequence[dict]] = None,
+        device: Any = None,  # accepted for API parity; placement is jax's job
+        tensor_output: bool = True,
+        is_collision_reset: bool = True,
+        is_train: bool = False,
+        uav_radius: float = 0.1,
+        sensitive_radius: float = 10.0,
+        multi_drone: bool = False,
+        latent_dim: Optional[int] = None,
+        dtype=jnp.float32,
+    ):
+        self.num_agent_per_scene = int(num_agent_per_scene)
+        self.num_scene = int(num_scene)
+        self.num_agent = self.num_envs = self.num_agent_per_scene * self.num_scene
+        self.seed = seed
+        self.visual = visual
+        self.max_episode_steps = int(max_episode_steps)
+        self.requires_grad = requires_grad
+        self.tensor_output = tensor_output
+        self.is_collision_reset = is_collision_reset
+        self.is_train = is_train
+        self.uav_radius = float(uav_radius)
+        self.sensitive_radius = float(sensitive_radius)
+        self.is_multi_drone = multi_drone
+        self.dtype = dtype
+        self.max_sense_radius = 10.0
+
+        dynamics_kwargs = dict(dynamics_kwargs or {})
+        self.wind_const = dynamics_kwargs.pop("wind_settings", None)
+        if self.wind_const is not None and not isinstance(self.wind_const[0], (int, float)):
+            raise NotImplementedError("string wind functions: pass wind_fn instead")
+        self.wind_fn = dynamics_kwargs.pop("wind_fn", None)
+        dynamics_kwargs.pop("seed", None)
+        dynamics_kwargs.pop("device", None)
+        self.dyn_config = DroneConfig(**dynamics_kwargs)
+        self.params = make_drone_params(self.dyn_config, dtype=dtype)
+
+        # state generators (`droneEnv.py:145-235`): one spec per scene when a
+        # list is given; broadcast otherwise.
+        specs = rnd.from_reference_kwargs(random_kwargs or self.default_random_kwargs())
+        self.randomizers = specs
+        self.noise_settings = (random_kwargs or {}).get("noise_kwargs", {})
+        self._imu_noise = self._build_imu_noise()
+
+        # world bounds: non-visual envs use the hard-coded empty-box world
+        # (`droneEnv.py:127-143`); visual envs get bounds from the scene.
+        self.scene = None
+        self.scene_kwargs = scene_kwargs or {}
+        self.sensor_kwargs = list(sensor_kwargs or [])
+        self.bbox = jnp.asarray([[-30.0, -30.0, 0.0], [30.0, 30.0, 8.0]], dtype)
+        if visual:
+            self._load_scene()
+
+        # observation metadata (shape/dtype per key), akin to the reference's
+        # gymnasium Dict space (`droneGymEnv.py:76-101`).
+        self.state_size = 13 if self.dyn_config.is_quat_output else 12
+        self.action_size = 4
+
+    # -- hooks for subclasses ------------------------------------------------
+
+    def default_random_kwargs(self) -> dict:
+        return {}
+
+    def get_observation(self, state: EnvState, sensor_obs: Dict[str, Array]) -> Dict[str, Array]:
+        return {"state": self.state_obs(state)}
+
+    def get_success(self, state: EnvState) -> Array:
+        return jnp.zeros((self.num_agent,), dtype=bool)
+
+    def get_failure(self, state: EnvState) -> Array:
+        return jnp.zeros((self.num_agent,), dtype=bool)
+
+    def get_reward(self, state: EnvState) -> Array:
+        return jnp.zeros((self.num_agent,), dtype=self.dtype)
+
+    def reset_aux(self, state: EnvState, mask: Array) -> Any:
+        """Reset env-specific aux state for masked agents."""
+        return state.aux
+
+    def init_aux(self, key: Array) -> Any:
+        return ()
+
+    # -- scene / sensors (overridden when the renderer lands) ----------------
+
+    def _load_scene(self):
+        from ..scene import load_scenes_for_env  # lazy: heavy host-side prep
+
+        self.scene = load_scenes_for_env(self)
+        self.bbox = self.scene.bbox
+
+    def sensor_observations(self, state: EnvState) -> Dict[str, Array]:
+        """Render per-agent sensors (depth/color/semantic) on-device."""
+        if not self.visual or not self.sensor_kwargs:
+            return {}
+        from ..render import render_sensors
+
+        return render_sensors(self, state)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _build_imu_noise(self):
+        """IMU noise model (`droneEnv.py:99-125`); default zero noise."""
+        imu = self.noise_settings.get("IMU")
+        if imu is None:
+            return None
+        kw = imu.get("kwargs", {})
+        if imu.get("model", "UniformNoiseModel") == "UniformNoiseModel":
+            return ("uniform", jnp.asarray(kw.get("mean", 0.0), self.dtype),
+                    jnp.asarray(kw.get("half", 0.0), self.dtype))
+        return ("normal", jnp.asarray(kw.get("mean", 0.0), self.dtype),
+                jnp.asarray(kw.get("std", 0.0), self.dtype))
+
+    def state_obs(self, state: EnvState) -> Array:
+        """13-dim IMU state with optional noise, quaternion re-normalised
+        (`droneEnv.py:114-125`)."""
+        s = dyn_mod.get_state(state.dyn)
+        if self._imu_noise is not None:
+            kind, a, b = self._imu_noise
+            key = jax.random.fold_in(state.key, 7)
+            if kind == "uniform":
+                noise = (jax.random.uniform(key, s.shape, self.dtype) - 0.5) * b + a
+            else:
+                noise = jax.random.normal(key, s.shape, self.dtype) * b + a
+            s = s + noise
+            if self.dyn_config.is_quat_output:
+                q = s[:, 3:7]
+                q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                s = jnp.concatenate([s[:, :3], q, s[:, 7:]], axis=-1)
+        return s
+
+    def is_collision_fn(self, pos: Array) -> Array:
+        """Spawn-rejection collision test (`SceneManager.get_point_is_collision`)."""
+        if self.scene is not None:
+            from ..scene import point_is_collision
+
+            return point_is_collision(self.scene, pos, radius=1.0)
+        return jnp.zeros((pos.shape[0],), dtype=bool)
+
+    def _spawn(self, key: Array, aux: Any) -> Tuple[Array, Array, Array, Array]:
+        """Sample spawn states for ALL agents (per-scene randomizer specs)."""
+        n_per = self.num_agent // max(len(self.randomizers), 1)
+        outs = []
+        keys = jax.random.split(key, len(self.randomizers))
+        for spec, k in zip(self.randomizers, keys):
+            target = getattr(self, "target", None)
+            outs.append(
+                rnd.safe_sample(
+                    spec, k, n_per,
+                    is_collision_fn=self.is_collision_fn if self.visual else None,
+                    target_pos=None if target is None else target[0],
+                )
+            )
+        return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+
+    def _update_collision(self, dyn: DynState, once: Array) -> Tuple[CollisionInfo, Array]:
+        """Closest-point & bounds queries (`droneEnv.py:335-371`).
+
+        Visual envs query the scene SDF; non-visual envs use the analytic
+        bbox nearest-face computation (`droneEnv.py:344-362`).
+        """
+        pos = jax.lax.stop_gradient(dyn.pos)
+        if self.scene is not None:
+            from ..scene import closest_point_query
+
+            point, dis, out = closest_point_query(self.scene, self._scene_ids(), pos)
+            vector = point - pos
+        else:
+            lo, hi = self.bbox[0], self.bbox[1]
+            d = jnp.concatenate([pos - lo, hi - pos], axis=-1)  # (N, 6)
+            idx = jnp.argmin(d, axis=-1)  # nearest face
+            flat = self.bbox.reshape(-1)
+            point = pos.at[jnp.arange(pos.shape[0]), idx % 3].set(flat[idx])
+            vector = point - pos
+            dis = jnp.linalg.norm(vector, axis=-1)
+            out = jnp.any(pos < lo, axis=-1) | jnp.any(pos > hi, axis=-1)
+        is_col = dis < self.uav_radius
+        return CollisionInfo(point, vector, dis, is_col, out), once | is_col
+
+    def _scene_ids(self) -> Array:
+        return jnp.repeat(jnp.arange(self.num_scene), self.num_agent_per_scene)
+
+    # -- pure API --------------------------------------------------------------
+
+    def reset(self, key: Optional[Array] = None, state: Optional[EnvState] = None
+              ) -> Tuple[EnvState, Dict[str, Array]]:
+        """Fresh episode for all agents (`droneGymEnv.py:302-327`)."""
+        if key is None:
+            key = jax.random.PRNGKey(self.seed)
+        key, k_spawn, k_aux = jax.random.split(key, 3)
+        aux = self.init_aux(k_aux)
+        pos, q, vel, omega = self._spawn(k_spawn, aux)
+
+        dyn = dyn_mod.init_state(self.dyn_config, self.params, self.num_agent, self.dtype)
+        dyn = dyn_mod.reset(self.dyn_config, self.params, dyn,
+                            pos=pos, ori=q, vel=vel, ori_vel=omega)
+        n = self.num_agent
+        falses = jnp.zeros((n,), dtype=bool)
+        collision, once = self._update_collision(dyn, falses)
+        st = EnvState(
+            dyn=dyn,
+            key=key,
+            step_count=jnp.zeros((n,), jnp.int32),
+            episode_done=falses,
+            success=falses,
+            failure=falses,
+            collision=collision,
+            once_collided=falses,
+            returns=jnp.zeros((n,), self.dtype),
+            aux=aux,
+        )
+        obs = self.get_observation(st, self.sensor_observations(st))
+        return st, obs
+
+    def step(self, state: EnvState, action: Array, is_test: bool = False
+             ) -> Tuple[EnvState, StepOutput]:
+        """One control step for all agents (`droneGymEnv.py:141-218`).
+
+        ``is_test=True`` suppresses auto-reset (`droneGymEnv.py:207`)."""
+        key, k_spawn, k_phase = jax.random.split(state.key, 3)
+
+        dyn = dyn_mod.step(
+            self.dyn_config, self.params, state.dyn, action,
+            wind_fn=self.wind_fn, wind_const=self.wind_const,
+        )
+        aux = self.step_aux(state.aux, dyn)
+        collision, once = self._update_collision(dyn, state.once_collided)
+        step_count = state.step_count + 1
+
+        st = state._replace(dyn=dyn, key=key, step_count=step_count,
+                            collision=collision, once_collided=once, aux=aux)
+
+        success = self.get_success(st)
+        failure = self.get_failure(st)
+        st = st._replace(success=success, failure=failure)
+
+        reward = self.get_reward(st)
+        if isinstance(reward, dict):
+            indiv = {k: v for k, v in reward.items() if k != "reward"}
+            reward = reward["reward"]
+        else:
+            indiv = {}
+        returns = state.returns + reward
+
+        episode_done = (
+            state.episode_done | success | failure | collision.is_out_bounds
+        )
+        if self.is_collision_reset:
+            episode_done = episode_done | collision.is_collision
+        truncated = step_count >= self.max_episode_steps
+        done = episode_done | truncated
+
+        info = {
+            "episode_done": episode_done,
+            "is_success": success,
+            "TimeLimit.truncated": truncated & ~episode_done,
+            "episode_return": returns,
+            "episode_length": step_count,
+            "episode_time": step_count.astype(self.dtype) * self.dyn_config.ctrl_dt,
+            "collision": once,
+            **{f"extra_{k}": v for k, v in indiv.items()},
+        }
+
+        st = st._replace(returns=returns, episode_done=episode_done)
+
+        if not is_test:
+            st = self._auto_reset(st, done, k_spawn, k_phase)
+
+        obs = self.get_observation(st, self.sensor_observations(st))
+        if not self.requires_grad:
+            obs = jax.lax.stop_gradient(obs)
+            reward_out = jax.lax.stop_gradient(reward)
+        else:
+            reward_out = reward
+        return st, StepOutput(obs=obs, reward=reward_out, done=done, info=info)
+
+    def step_aux(self, aux: Any, dyn: DynState) -> Any:
+        """Advance env-specific aux state (dynamic objects etc.)."""
+        return aux
+
+    def _auto_reset(self, st: EnvState, done: Array, k_spawn: Array, k_phase: Array
+                    ) -> EnvState:
+        """In-jit masked respawn of done agents (`examine()` →
+        ``reset_agent_by_id``, `droneGymEnv.py:420-423,339-349`). Fresh spawn
+        states carry no gradient (the reference samples them under no_grad)."""
+        pos, q, vel, omega = self._spawn(k_spawn, st.aux)
+        pos, q, vel, omega = jax.lax.stop_gradient((pos, q, vel, omega))
+        dyn = dyn_mod.reset(
+            self.dyn_config, self.params, st.dyn, mask=done,
+            pos=pos, ori=q, vel=vel, ori_vel=omega, key=k_phase,
+        )
+        # detach carried state at the reset boundary for non-reset agents is
+        # NOT done here — the reference keeps the graph until env.detach();
+        # BPTT-style algorithms call stop_gradient between updates instead.
+        collision, once = self._update_collision(dyn, st.once_collided & ~done)
+        aux = self.reset_aux(st, done)
+        zeros = jnp.zeros((self.num_agent,), self.dtype)
+        return st._replace(
+            dyn=dyn,
+            step_count=jnp.where(done, 0, st.step_count),
+            episode_done=jnp.where(done, False, st.episode_done),
+            returns=jnp.where(done, zeros, st.returns),
+            collision=collision,
+            once_collided=once,
+            aux=aux,
+        )
+
+    def reset_agents(self, state: EnvState, mask: Array) -> EnvState:
+        """Explicit masked reset (reference ``reset_agent_by_id``)."""
+        key, k_spawn, k_phase = jax.random.split(state.key, 3)
+        return self._auto_reset(state._replace(key=key), mask, k_spawn, k_phase)
+
+    # -- observation space metadata -------------------------------------------
+
+    def obs_space(self) -> Dict[str, Tuple[Tuple[int, ...], Any]]:
+        """{key: (shape, dtype)} for policy construction."""
+        st, obs = jax.eval_shape(lambda k: self.reset(k), jax.random.PRNGKey(0))
+        return {k: (tuple(v.shape[1:]), v.dtype) for k, v in obs.items()}
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(num_scene={self.num_scene}, "
+            f"num_agent_per_scene={self.num_agent_per_scene}, "
+            f"visual={self.visual}, requires_grad={self.requires_grad})"
+        )
