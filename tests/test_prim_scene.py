@@ -1,0 +1,211 @@
+"""Packed-primitive scene backend: SDF accuracy vs analytic formulas, parity
+with the grid backend, gather-free render path, dynamic objects, env zoo."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visfly_tpu.scene import make_scene, pack_scenes
+from visfly_tpu.scene.prim_scene import prim_sdf, scene_sdf_grouped
+from visfly_tpu.render import render_camera
+
+
+def scene_with_sphere():
+    spec = make_scene("box15_wall_empty")
+    spec.primitives.append(
+        {"type": "sphere", "center": np.asarray([5.0, 0.0, 2.0], np.float32),
+         "radius": 1.0, "color": np.asarray([200, 30, 30], np.uint8), "semantic": 7}
+    )
+    return pack_scenes([spec])
+
+
+def test_prim_sdf_exact():
+    scene = scene_with_sphere()
+    p = jnp.asarray([[[0.0, 0.0, 2.0], [5.0, 0.0, 4.5], [3.0, 0.0, 2.0]]])
+    d = np.asarray(scene_sdf_grouped(scene, p))[0]
+    np.testing.assert_allclose(d, [2.0, 1.5, 1.0], atol=1e-5)
+
+
+def test_gate_sdf():
+    spec = make_scene("racing")
+    scene = pack_scenes([spec])
+    # gate at (6,0,2) facing +x after yaw π/2... ray through the opening
+    center = jnp.asarray([[[6.0, 0.0, 2.0]]])
+    d = np.asarray(scene_sdf_grouped(scene, center))[0, 0]
+    assert d > 0.5  # opening is clear
+
+
+def test_cylinder_as_capsule():
+    spec = make_scene("forest", seed=3)
+    scene = pack_scenes([spec])
+    # distance from a point 1m beside some column must be ~1-r
+    p = jnp.asarray([[[0.0, 0.0, 3.0]]])
+    d = np.asarray(scene_sdf_grouped(scene, p))[0, 0]
+    assert 0.0 < d < 3.0  # inside forest, near some column
+
+
+def test_depth_render_prim_vs_geometry():
+    scene = scene_with_sphere()
+    pos = jnp.asarray([[0.0, 0.0, 2.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    spec = {"uuid": "depth", "sensor_type": "depth", "resolution": [64, 64]}
+    out = render_camera(scene, jnp.zeros(1, jnp.int32), pos, q, spec, n_steps=64)
+    depth = np.asarray(out["depth"])
+    assert depth.shape == (1, 1, 64, 64)
+    np.testing.assert_allclose(depth[0, 0, 32, 32], 4.0, atol=0.03)
+    assert (depth <= 20.0).all() and np.isfinite(depth).all()
+
+
+def test_color_semantic_prim():
+    scene = scene_with_sphere()
+    pos = jnp.asarray([[2.5, 0.0, 2.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    sid = jnp.zeros(1, jnp.int32)
+    col = render_camera(scene, sid, pos, q,
+                        {"sensor_type": "color", "resolution": [32, 32]})["color"]
+    sem = render_camera(scene, sid, pos, q,
+                        {"sensor_type": "semantic", "resolution": [32, 32]})["semantic"]
+    col, sem = np.asarray(col), np.asarray(sem)
+    assert sem[0, 0, 16, 16] == 7
+    assert col[0, 0, 16, 16] > col[0, 1, 16, 16]
+
+
+def test_depth_gradient_flows_to_pose():
+    scene = scene_with_sphere()
+    spec = {"sensor_type": "depth", "resolution": [16, 16]}
+
+    def loss(pos):
+        out = render_camera(scene, jnp.zeros(1, jnp.int32), pos,
+                            jnp.asarray([[1.0, 0.0, 0.0, 0.0]]), spec, n_steps=32)
+        return jnp.mean(out["depth"])
+
+    g = jax.grad(loss)(jnp.asarray([[0.0, 0.0, 2.0]]))
+    assert np.isfinite(np.asarray(g)).all()
+    # moving toward the sphere reduces mean depth
+    assert float(g[0, 0]) < 0
+
+
+def test_racing_env_gate_progression():
+    from visfly_tpu.envs.racing import RacingEnv
+
+    env = RacingEnv(num_agent_per_scene=4, visual=False,
+                    dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03})
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["gate"].shape == (4, 1)
+    # quadrant rule: spawn at [2,2,1] (x-4<0, y>0) → gate 0
+    gates = np.asarray(state.aux.next_target_i)
+    pos = np.asarray(state.dyn.pos)
+    for g, p in zip(gates, pos):
+        rel = p - np.asarray([4.0, 0.0, 1.0])
+        if rel[0] < 0:
+            assert g == (0 if rel[1] > 0 else 3)
+    # teleport an agent onto its gate → pass detection on next step
+    target = env.targets[state.aux.next_target_i[0]]
+    dyn = state.dyn._replace(pos=state.dyn.pos.at[0].set(target))
+    state = state._replace(dyn=dyn)
+    state2, out = env.step(state, jnp.zeros((4, 4)), is_test=True)
+    assert bool(state2.aux.is_pass_next[0])
+    assert int(state2.aux.past_targets[0]) == 1
+    assert float(out.reward[0]) > 10  # pass bonus
+
+
+def test_tracking_env_waypoints():
+    from visfly_tpu.envs.tracking import TrackEnv
+
+    env = TrackEnv(num_agent_per_scene=4, visual=False,
+                   dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03})
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["state"].shape == (4, 30 + 10)
+    wp = np.asarray(env.waypoints(state.dyn.t))
+    assert wp.shape == (4, 10, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(wp[:, :, :2] - np.asarray([2.0, 0.0]), axis=-1), 2.0, atol=1e-5
+    )
+
+
+def test_landing_env2_descent_reward():
+    from visfly_tpu.envs.landing import LandingEnv2
+
+    env = LandingEnv2(num_agent_per_scene=4, visual=False,
+                      dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03})
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["state"].shape == (4, 13)
+    state, out = env.step(state, jnp.zeros((4, 4)))
+    assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_multi_navigation_swarm_obs():
+    from visfly_tpu.envs.multi import MultiNavigationEnv
+
+    env = MultiNavigationEnv(num_agent_per_scene=3, num_scene=2, visual=False,
+                             dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+                             random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+                                 {"position": {"mean": [1.0, 0.0, 1.5], "half": [1.0, 2.0, 0.5]}}]}})
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["swarm"].shape == (6, 2, 13)
+    # swarm rows must be other agents of the same scene
+    s = np.asarray(obs["state"])
+    sw = np.asarray(obs["swarm"])
+    np.testing.assert_allclose(sw[0, 0], s[1], atol=1e-6)
+    np.testing.assert_allclose(sw[3, 0], s[4], atol=1e-6)
+    state, out = env.step(state, jnp.zeros((6, 4)))
+    # per-scene aggregation: done identical within a scene
+    d = np.asarray(out.done).reshape(2, 3)
+    assert (d == d[:, :1]).all()
+
+
+def test_dynamic_objects_step():
+    from visfly_tpu.scene.objects import (
+        build_objects, init_objects_state, step_objects,
+    )
+
+    settings = [
+        {"name": "mover", "path": {"class": "circle",
+                                   "kwargs": {"radius": 2.0, "center": [0, 0, 2]}},
+         "velocity": 1.0, "radius": 0.3},
+        {"name": "patrol", "path": {"class": "polygon",
+                                    "kwargs": {"points": [[0, 0, 1], [4, 0, 1], [4, 4, 1]]}},
+         "velocity": 2.0},
+    ]
+    objs = build_objects(settings, num_scene=2, seed=0)
+    assert objs.num_objects == 4  # 2 settings × 2 scenes
+    st = init_objects_state(objs, 2)
+    positions = [np.asarray(st.pos)]
+    for _ in range(50):
+        st = step_objects(objs, st, 0.1)
+        positions.append(np.asarray(st.pos))
+    traj = np.stack(positions)
+    # circle object stays at radius 2 around center
+    r = np.linalg.norm(traj[:, 0, :2], axis=-1)
+    np.testing.assert_allclose(r, 2.0, atol=0.05)
+    # speed ≈ 1 m/s for the circle mover
+    spd = np.linalg.norm(np.diff(traj[:, 0], axis=0), axis=-1) / 0.1
+    np.testing.assert_allclose(spd.mean(), 1.0, atol=0.1)
+
+
+def test_dyn_env_with_objects():
+    from visfly_tpu.envs.dynamic import DynEnv
+
+    env = DynEnv(
+        num_agent_per_scene=4, visual=True,
+        scene_kwargs={
+            "path": "box15_wall_empty",
+            "obj_settings": [
+                {"name": "mover",
+                 "path": {"class": "circle", "kwargs": {"radius": 2.0, "center": [1, 0, 1.5]}},
+                 "velocity": 1.5, "radius": 0.4},
+            ],
+        },
+        sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth", "resolution": [32, 32]}],
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.5, 0.5, 0.3]}}]}},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    d0 = np.asarray(obs["depth"])
+    for _ in range(10):
+        state, out = step(state, jnp.zeros((4, 4)))
+    d1 = np.asarray(out.obs["depth"])
+    # the moving obstacle changes the depth image over time
+    assert np.abs(d0 - d1).max() > 0.05
+    assert np.isfinite(np.asarray(out.reward)).all()

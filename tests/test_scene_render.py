@@ -1,0 +1,156 @@
+"""Scene/SDF engine + sphere-trace renderer tests: analytic-SDF accuracy,
+collision queries, depth correctness against geometry, color/semantic
+rendering, and the visual env integration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visfly_tpu.scene import (
+    bake_scenes,
+    closest_point_query,
+    make_scene,
+    point_is_collision,
+    sample_sdf,
+    sdf_normal,
+)
+from visfly_tpu.render import render_camera, trace_rays
+
+
+def simple_scene(spacing=0.05):
+    spec = make_scene("box15_wall_empty")
+    # add a known sphere obstacle at (5, 0, 2) r=1
+    spec.primitives.append(
+        {
+            "type": "sphere",
+            "center": np.asarray([5.0, 0.0, 2.0], np.float32),
+            "radius": 1.0,
+            "color": np.asarray([200, 30, 30], np.uint8),
+            "semantic": 7,
+        }
+    )
+    return bake_scenes([spec], spacing=0.25)
+
+
+def test_sdf_grid_accuracy():
+    data = simple_scene()
+    sid = jnp.zeros(3, jnp.int32)
+    p = jnp.asarray([[0.0, 0.0, 2.0], [5.0, 0.0, 4.5], [3.0, 0.0, 2.0]])
+    d = np.asarray(sample_sdf(data, sid, p))
+    # analytic: dist to sphere surface vs walls
+    np.testing.assert_allclose(d[1], 1.5, atol=0.08)  # above sphere: 2.5-1
+    np.testing.assert_allclose(d[2], 1.0, atol=0.08)  # 2m from center -1
+    assert d[0] > 1.5  # far from everything but floor/ceiling: min(2, 6) = 2
+    np.testing.assert_allclose(d[0], 2.0, atol=0.08)
+
+
+def test_closest_point_and_collision():
+    data = simple_scene()
+    sid = jnp.zeros(2, jnp.int32)
+    p = jnp.asarray([[3.0, 0.0, 2.0], [5.0, 0.0, 3.05]])
+    point, dis, out = closest_point_query(data, sid, p)
+    point, dis = np.asarray(point), np.asarray(dis)
+    # closest point from (3,0,2) is sphere surface at (4,0,2)
+    np.testing.assert_allclose(point[0], [4.0, 0.0, 2.0], atol=0.15)
+    np.testing.assert_allclose(dis[1], 0.05, atol=0.05)
+    assert not np.asarray(out).any()
+    col = np.asarray(point_is_collision(data, p, radius=0.1))
+    assert not col[0] and col[1]
+
+
+def test_normals_point_outward():
+    data = simple_scene()
+    sid = jnp.zeros(1, jnp.int32)
+    n = np.asarray(sdf_normal(data, sid, jnp.asarray([[3.0, 0.0, 2.0]])))[0]
+    # gradient of distance-to-sphere at (3,0,2) points away from center (-x)
+    np.testing.assert_allclose(n, [-1.0, 0.0, 0.0], atol=0.1)
+
+
+def test_trace_depth_matches_geometry():
+    data = simple_scene()
+    # ray from (0,0,2) toward +x hits sphere at x=4 → t=4
+    o = jnp.asarray([[0.0, 0.0, 2.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    t, hit = trace_rays(data, jnp.zeros(1, jnp.int32), o, d, n_steps=64)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t[0]), 4.0, atol=0.15)
+
+
+def test_render_depth_image():
+    data = simple_scene()
+    pos = jnp.asarray([[0.0, 0.0, 2.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # facing +x
+    spec = {"uuid": "depth", "sensor_type": "depth", "resolution": [64, 64]}
+    out = render_camera(data, jnp.zeros(1, jnp.int32), pos, q, spec, n_steps=64)
+    depth = np.asarray(out["depth"])
+    assert depth.shape == (1, 1, 64, 64)
+    # center pixel looks straight at the sphere → planar depth ≈ 4
+    np.testing.assert_allclose(depth[0, 0, 32, 32], 4.0, atol=0.2)
+    # corner rays miss the sphere; with 90° fov they hit side walls/ceiling
+    assert depth[0, 0, 32, 0] > 4.5
+    assert np.isfinite(depth).all() and (depth <= 20.0).all()
+
+
+def test_render_color_and_semantic():
+    data = simple_scene()
+    pos = jnp.asarray([[2.5, 0.0, 2.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    sid = jnp.zeros(1, jnp.int32)
+    col = render_camera(data, sid, pos, q,
+                        {"uuid": "color", "sensor_type": "color",
+                         "resolution": [32, 32]})["color"]
+    sem = render_camera(data, sid, pos, q,
+                        {"uuid": "semantic", "sensor_type": "semantic",
+                         "resolution": [32, 32]})["semantic"]
+    col, sem = np.asarray(col), np.asarray(sem)
+    assert col.shape == (1, 3, 32, 32) and col.dtype == np.uint8
+    assert sem.shape == (1, 1, 32, 32) and sem.dtype == np.uint8
+    # center of view: the red sphere (semantic id 7)
+    assert sem[0, 0, 16, 16] == 7
+    assert col[0, 0, 16, 16] > col[0, 1, 16, 16]  # red-dominant
+
+
+def test_visual_env_end_to_end():
+    from visfly_tpu.envs import NavigationEnv
+
+    env = NavigationEnv(
+        num_agent_per_scene=4,
+        visual=True,
+        scene_kwargs={"path": "datasets/visfly-beta/configs/scenes/garage_simple_l_medium",
+                      "sdf_spacing": 0.15},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [64, 64]}],
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 2.0, 1.0]}}]}},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["depth"].shape == (4, 1, 64, 64)
+    step = jax.jit(env.step)
+    state, out = step(state, jnp.zeros((4, 4)))
+    d = np.asarray(out.obs["depth"])
+    assert np.isfinite(d).all() and d.min() >= 0 and d.max() <= 20.0
+    # depth must actually see obstacles (not all background)
+    assert d.min() < 5.0
+    # collision distance must come from the scene SDF, not the default bbox
+    assert np.asarray(state.collision.dis).max() < 6.0
+
+
+def test_multi_scene_batching():
+    from visfly_tpu.scene import load_scenes_for_env
+    from visfly_tpu.envs import NavigationEnv
+
+    env = NavigationEnv(
+        num_agent_per_scene=2, num_scene=3, visual=True,
+        scene_kwargs={"path": "garage_crossing", "sdf_spacing": 0.2},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [32, 32]}],
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [0.0, 0.0, 2.0], "half": [2.0, 2.0, 1.0]}}]}},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+    )
+    assert env.scene.num_scene == 3
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    assert obs["depth"].shape == (6, 1, 32, 32)
+    # different scenes have different obstacle layouts → depth images differ
+    d = np.asarray(obs["depth"])
+    assert np.abs(d[0] - d[2]).max() > 0.1

@@ -65,7 +65,8 @@ class EnvState(NamedTuple):
     collision: CollisionInfo
     once_collided: Array  # (N,) bool since episode start
     returns: Array  # (N,) accumulated episode reward
-    aux: Any = ()  # env-specific pytree (targets, gate idx, objects…)
+    aux: Any = ()  # env-specific pytree (targets, gate idx…)
+    objects: Any = ()  # dynamic-object state (ObjectsState) when enabled
 
 
 class StepOutput(NamedTuple):
@@ -149,6 +150,20 @@ class DroneGymEnv:
         if visual:
             self._load_scene()
 
+        # dynamic objects (`scene_kwargs["obj_settings"]`, the ObjectManager
+        # path, `droneEnv.py:67-68` / `SceneManager.py:876-891`)
+        self.objects = None
+        obj_settings = self.scene_kwargs.get("obj_settings")
+        if obj_settings:
+            from ..scene.objects import build_objects, load_obj_settings
+
+            settings = load_obj_settings(
+                obj_settings.get("path", obj_settings)
+                if isinstance(obj_settings, dict) and "path" in obj_settings
+                else obj_settings
+            )
+            self.objects = build_objects(settings, self.num_scene, seed)
+
         # observation metadata (shape/dtype per key), akin to the reference's
         # gymnasium Dict space (`droneGymEnv.py:76-101`).
         self.state_size = 13 if self.dyn_config.is_quat_output else 12
@@ -227,11 +242,18 @@ class DroneGymEnv:
         return s
 
     def is_collision_fn(self, pos: Array) -> Array:
-        """Spawn-rejection collision test (`SceneManager.get_point_is_collision`)."""
+        """Spawn-rejection collision test (`SceneManager.get_point_is_collision`).
+
+        The reference rejects spawns closer than 1 m to any surface
+        (`randomization.py:77`)."""
         if self.scene is not None:
             from ..scene import point_is_collision
 
-            return point_is_collision(self.scene, pos, radius=1.0)
+            if pos.shape[0] == self.num_agent:
+                sid = self._scene_ids()
+            else:
+                sid = jnp.zeros((pos.shape[0],), jnp.int32)
+            return point_is_collision(self.scene, pos, sid=sid, radius=1.0)
         return jnp.zeros((pos.shape[0],), dtype=bool)
 
     def _spawn(self, key: Array, aux: Any) -> Tuple[Array, Array, Array, Array]:
@@ -250,11 +272,14 @@ class DroneGymEnv:
             )
         return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
 
-    def _update_collision(self, dyn: DynState, once: Array) -> Tuple[CollisionInfo, Array]:
+    def _update_collision(self, dyn: DynState, once: Array, objects: Any = ()
+                          ) -> Tuple[CollisionInfo, Array]:
         """Closest-point & bounds queries (`droneEnv.py:335-371`).
 
         Visual envs query the scene SDF; non-visual envs use the analytic
-        bbox nearest-face computation (`droneEnv.py:344-362`).
+        bbox nearest-face computation (`droneEnv.py:344-362`). Dynamic
+        objects override the collision point when closer (the fork's
+        dynamic-KD-tree path, `SceneManager.py:399,888`).
         """
         pos = jax.lax.stop_gradient(dyn.pos)
         if self.scene is not None:
@@ -271,6 +296,19 @@ class DroneGymEnv:
             vector = point - pos
             dis = jnp.linalg.norm(vector, axis=-1)
             out = jnp.any(pos < lo, axis=-1) | jnp.any(pos > hi, axis=-1)
+
+        if self.objects is not None and objects != ():
+            from ..scene.objects import objects_closest
+
+            o_point, o_dis = objects_closest(
+                self.objects, jax.lax.stop_gradient(objects.pos),
+                self._scene_ids(), pos,
+            )
+            closer = o_dis < dis
+            point = jnp.where(closer[:, None], o_point, point)
+            dis = jnp.where(closer, o_dis, dis)
+            vector = point - pos
+
         is_col = dis < self.uav_radius
         return CollisionInfo(point, vector, dis, is_col, out), once | is_col
 
@@ -293,7 +331,12 @@ class DroneGymEnv:
                             pos=pos, ori=q, vel=vel, ori_vel=omega)
         n = self.num_agent
         falses = jnp.zeros((n,), dtype=bool)
-        collision, once = self._update_collision(dyn, falses)
+        objects = ()
+        if self.objects is not None:
+            from ..scene.objects import init_objects_state
+
+            objects = init_objects_state(self.objects, self.num_scene)
+        collision, once = self._update_collision(dyn, falses, objects)
         st = EnvState(
             dyn=dyn,
             key=key,
@@ -305,8 +348,12 @@ class DroneGymEnv:
             once_collided=falses,
             returns=jnp.zeros((n,), self.dtype),
             aux=aux,
+            objects=objects,
         )
-        obs = self.get_observation(st, self.sensor_observations(st))
+        st = st._replace(aux=self.reset_aux(st, jnp.ones((n,), bool)))
+        sensor_obs = self.sensor_observations(st)
+        st = self.update_aux_from_sensors(st, sensor_obs)
+        obs = self.get_observation(st, sensor_obs)
         return st, obs
 
     def step(self, state: EnvState, action: Array, is_test: bool = False
@@ -321,13 +368,22 @@ class DroneGymEnv:
             wind_fn=self.wind_fn, wind_const=self.wind_const,
         )
         aux = self.step_aux(state.aux, dyn)
-        collision, once = self._update_collision(dyn, state.once_collided)
+        objects = state.objects
+        if self.objects is not None and objects != ():
+            from ..scene.objects import step_objects
+
+            objects = step_objects(self.objects, objects, self.dyn_config.ctrl_dt)
+        collision, once = self._update_collision(dyn, state.once_collided, objects)
         step_count = state.step_count + 1
 
         st = state._replace(dyn=dyn, key=key, step_count=step_count,
-                            collision=collision, once_collided=once, aux=aux)
+                            collision=collision, once_collided=once, aux=aux,
+                            objects=objects)
 
-        success = self.get_success(st)
+        if self.needs_sensors_for_reward:
+            st = self.update_aux_from_sensors(st, self.sensor_observations(st))
+
+        success = self.aggregate_success(self.get_success(st))
         failure = self.get_failure(st)
         st = st._replace(success=success, failure=failure)
 
@@ -345,7 +401,7 @@ class DroneGymEnv:
         if self.is_collision_reset:
             episode_done = episode_done | collision.is_collision
         truncated = step_count >= self.max_episode_steps
-        done = episode_done | truncated
+        done = self.aggregate_done(episode_done | truncated)
 
         info = {
             "episode_done": episode_done,
@@ -363,7 +419,9 @@ class DroneGymEnv:
         if not is_test:
             st = self._auto_reset(st, done, k_spawn, k_phase)
 
-        obs = self.get_observation(st, self.sensor_observations(st))
+        sensor_obs = self.sensor_observations(st)
+        st = self.update_aux_from_sensors(st, sensor_obs)
+        obs = self.get_observation(st, sensor_obs)
         if not self.requires_grad:
             obs = jax.lax.stop_gradient(obs)
             reward_out = jax.lax.stop_gradient(reward)
@@ -374,6 +432,25 @@ class DroneGymEnv:
     def step_aux(self, aux: Any, dyn: DynState) -> Any:
         """Advance env-specific aux state (dynamic objects etc.)."""
         return aux
+
+    def aggregate_success(self, success: Array) -> Array:
+        """Per-agent by default; the multi-drone base aggregates per scene
+        (`multiDroneGymEnv.py:114-116`)."""
+        return success
+
+    def aggregate_done(self, done: Array) -> Array:
+        return done
+
+    # set True by envs whose reward depends on sensor images (LandingEnv):
+    # forces an extra pre-reset render each step, like the reference's
+    # get_full_observation-before-done flow (`droneGymEnv.py:161`).
+    needs_sensors_for_reward: bool = False
+
+    def update_aux_from_sensors(self, state: EnvState, sensor_obs: Dict[str, Array]
+                                ) -> EnvState:
+        """Refresh aux state that is derived from rendered sensors (e.g. the
+        landing pad image centre-of-mass, `LandingEnv.py:73-79`)."""
+        return state
 
     def _auto_reset(self, st: EnvState, done: Array, k_spawn: Array, k_phase: Array
                     ) -> EnvState:
@@ -389,8 +466,11 @@ class DroneGymEnv:
         # detach carried state at the reset boundary for non-reset agents is
         # NOT done here — the reference keeps the graph until env.detach();
         # BPTT-style algorithms call stop_gradient between updates instead.
-        collision, once = self._update_collision(dyn, st.once_collided & ~done)
-        aux = self.reset_aux(st, done)
+        collision, once = self._update_collision(dyn, st.once_collided & ~done,
+                                                 st.objects)
+        # aux reset sees the POST-respawn dynamics (e.g. racing gate choice
+        # depends on the new spawn position, `RacingEnv.py:172-185`)
+        aux = self.reset_aux(st._replace(dyn=dyn), done)
         zeros = jnp.zeros((self.num_agent,), self.dtype)
         return st._replace(
             dyn=dyn,

@@ -1,0 +1,276 @@
+"""Sphere-tracing renderer — the TPU-native replacement for habitat's GL
+rasteriser (`get_sensor_observations`, `/root/reference/utils/SceneManager.py:371-389`).
+
+Two backends:
+
+* **PrimitiveScene (default, fast)** — rays are grouped per scene
+  ``(S, rays_per_scene, 3)`` and vmapped over the scene axis; every trace
+  step evaluates all K analytic primitive SDFs with dense VPU arithmetic.
+  ZERO gathers anywhere in the pipeline (XLA gathers run at ~1e8 elem/s on
+  TPU and were measured 135× too slow for the 1e4 fps target). Colors and
+  semantics resolve by one-hot matmul against the per-scene tables (MXU).
+* **SceneData grids (meshes)** — trilinear-interpolated dense SDF grids,
+  flat ray batch with per-ray scene ids.
+
+Fixed iteration count + masked updates keep the XLA program static; the
+whole render fuses into one kernel chain per sensor. Differentiable end to
+end (depth gradients flow into drone pose).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..scene.prim_scene import (
+    PrimitiveScene,
+    prim_distances,
+    prim_sdf,
+)
+from ..scene.queries import sample_sdf
+from ..scene.scene import SceneData
+from .camera import camera_rays
+
+DEFAULT_MAX_DEPTH = 20.0  # background value (`droneEnv.py:306`)
+_LIGHT_DIR = jnp.asarray([0.33798, 0.24142, 0.90966])  # normalised
+
+
+# ---------------------------------------------------------------------------
+# grouped fast path (PrimitiveScene)
+# ---------------------------------------------------------------------------
+
+
+def _trace_one_scene(
+    params: Array,
+    origins: Array,
+    dirs: Array,
+    obj_pos: Optional[Array],
+    obj_radius: Optional[Array],
+    n_steps: int,
+    max_depth: float,
+    eps: float,
+) -> Tuple[Array, Array]:
+    """Trace R rays against one scene's primitives (+ dynamic objects)."""
+
+    def sdf(p):
+        d = prim_sdf(params, p)
+        if obj_pos is not None:
+            do = (
+                jnp.linalg.norm(p[:, None, :] - obj_pos[None], axis=-1)
+                - obj_radius[None]
+            )
+            d = jnp.minimum(d, jnp.min(do, axis=-1))
+        return d
+
+    def body(_, carry):
+        t, done = carry
+        p = origins + dirs * t[:, None]
+        d = sdf(p)
+        done = done | (d < eps) | (t >= max_depth)
+        t = jnp.where(done, t, t + d)
+        return t, done
+
+    t0 = jnp.zeros(origins.shape[0], origins.dtype)
+    done0 = jnp.zeros(origins.shape[0], bool)
+    t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+    # sub-eps refinement: advance by the residual signed distance
+    t = jnp.clip(t + sdf(origins + dirs * t[:, None]), 0.0, max_depth)
+    hit = done & (t < max_depth)
+    return jnp.where(hit, t, max_depth), hit
+
+
+def trace_grouped(
+    scene: PrimitiveScene,
+    origins: Array,  # (S, R, 3)
+    dirs: Array,  # (S, R, 3)
+    objects=None,  # (obj_pos (S, M, 3), obj_radius (S, M)) or None
+    n_steps: int = 48,
+    max_depth: float = DEFAULT_MAX_DEPTH,
+) -> Tuple[Array, Array]:
+    eps = float(scene.eps)
+    if objects is None:
+        fn = lambda prm, o, d: _trace_one_scene(
+            prm, o, d, None, None, n_steps, max_depth, eps
+        )
+        return jax.vmap(fn)(scene.params, origins, dirs)
+    obj_pos, obj_radius = objects
+    fn = lambda prm, o, d, op, orad: _trace_one_scene(
+        prm, o, d, op, orad, n_steps, max_depth, eps
+    )
+    return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius)
+
+
+# ---------------------------------------------------------------------------
+# flat path (grid scenes) — kept for imported meshes
+# ---------------------------------------------------------------------------
+
+
+def trace_rays(
+    data,
+    sid: Array,
+    origins: Array,
+    dirs: Array,
+    n_steps: int = 48,
+    max_depth: float = DEFAULT_MAX_DEPTH,
+    hit_eps: Optional[float] = None,
+) -> Tuple[Array, Array]:
+    """Flat-batch sphere trace; polymorphic over scene backends."""
+    if isinstance(data, PrimitiveScene):
+        eps = float(data.eps) if hit_eps is None else hit_eps
+        min_step = 0.0
+    else:
+        eps = float(data.spacing) * 0.3 if hit_eps is None else hit_eps
+        min_step = float(data.spacing) * 0.5
+
+    def body(_, carry):
+        t, done = carry
+        p = origins + dirs * t[:, None]
+        d = sample_sdf(data, sid, p)
+        done = done | (d < eps) | (t >= max_depth)
+        t = jnp.where(done, t, t + jnp.maximum(d, min_step))
+        return t, done
+
+    t0 = jnp.zeros(origins.shape[0], origins.dtype)
+    done0 = jnp.zeros(origins.shape[0], bool)
+    t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+    t = jnp.clip(t + sample_sdf(data, sid, origins + dirs * t[:, None]), 0.0, max_depth)
+    hit = done & (t < max_depth)
+    return jnp.where(hit, t, max_depth), hit
+
+
+# ---------------------------------------------------------------------------
+# camera rendering
+# ---------------------------------------------------------------------------
+
+
+def _shade_primitive(
+    scene: PrimitiveScene,
+    p_hit: Array,  # (S, R, 3)
+    hit: Array,  # (S, R)
+    want: str,
+) -> Array:
+    """Color/semantic via one-hot matmul over the per-scene primitive tables
+    (MXU-friendly; no gathers)."""
+
+    def per_scene(params, colors, semantic, pts, hit_s):
+        d = prim_distances(params, pts)  # (R, K)
+        onehot = jax.nn.one_hot(jnp.argmin(d, axis=-1), d.shape[-1], dtype=pts.dtype)
+        if want == "semantic":
+            sem = onehot @ semantic.astype(pts.dtype)
+            return jnp.where(hit_s, sem, 0.0)
+        albedo = onehot @ colors  # (R, 3)
+        # exact normal from autodiff for lambertian shading
+        g = jax.grad(lambda q: jnp.sum(prim_sdf(params, q)))(pts)
+        n = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+        lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
+        shade = 0.35 + 0.65 * lam
+        return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)
+
+    return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic, p_hit, hit)
+
+
+def render_camera(
+    data,
+    sid: Array,
+    pos: Array,
+    q: Array,
+    spec: Dict,
+    n_steps: int = 48,
+    max_depth: float = DEFAULT_MAX_DEPTH,
+    objects=None,
+    num_scene: Optional[int] = None,
+) -> Dict[str, Array]:
+    """Render one sensor for N agents. Output layouts match the reference
+    observation pipeline (`droneEnv.py:296-333`):
+    depth (N,1,H,W) f32 · color (N,3,H,W) uint8 · semantic (N,1,H,W) uint8.
+
+    Agents must be ordered scene-contiguously (they are: scene id =
+    agent // num_agent_per_scene)."""
+    stype = str(spec.get("sensor_type", spec.get("uuid", "depth"))).lower()
+    H, W = spec["resolution"]
+    n = pos.shape[0]
+
+    origins, dirs, cos_f = camera_rays(spec, pos, q)
+
+    if isinstance(data, PrimitiveScene):
+        S = data.num_scene if num_scene is None else num_scene
+        R = (n // S) * H * W
+        o_g = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(S, R, 3)
+        d_g = dirs.reshape(S, R, 3)
+        t, hit = trace_grouped(data, o_g, d_g, objects, n_steps, max_depth)
+        t_flat = t.reshape(n, H, W)
+        hit_flat = hit.reshape(n, H, W)
+        if stype == "depth":
+            depth = jnp.where(hit_flat, t_flat * cos_f, max_depth)
+            return {"depth": depth[:, None, :, :]}
+        p_hit = o_g + d_g * t[..., None]
+        shaded = _shade_primitive(data, p_hit, hit, stype)
+        if stype == "semantic":
+            sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
+            return {"semantic": sem[:, None, :, :]}
+        rgb = jnp.clip(shaded, 0, 255).astype(jnp.uint8).reshape(n, H, W, 3)
+        return {"color": jnp.transpose(rgb, (0, 3, 1, 2))}
+
+    # grid backend (meshes): flat batch with per-ray scene ids
+    R = n * H * W
+    flat_o = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(R, 3)
+    flat_d = dirs.reshape(R, 3)
+    flat_sid = jnp.broadcast_to(sid[:, None], (n, H * W)).reshape(R)
+    t, hit = trace_rays(data, flat_sid, flat_o, flat_d, n_steps, max_depth)
+
+    if stype == "depth":
+        depth = jnp.where(hit.reshape(n, H, W), t.reshape(n, H, W) * cos_f, max_depth)
+        return {"depth": depth[:, None, :, :]}
+
+    p_hit = flat_o + flat_d * t[:, None]
+    X, Y, Z = data.sdf.shape[1:]
+    g = jnp.round((p_hit - data.origin) / data.spacing).astype(jnp.int32)
+    g = jnp.clip(g, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+    lin = ((flat_sid * X + g[..., 0]) * Y + g[..., 1]) * Z + g[..., 2]
+
+    if stype == "semantic":
+        sem = jnp.take(data.semantic.reshape(-1), lin)
+        sem = jnp.where(hit, sem, 0).reshape(n, H, W)
+        return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
+
+    from ..scene.queries import sdf_normal
+
+    albedo = jnp.take(data.albedo.reshape(-1, 3), lin, axis=0).astype(jnp.float32)
+    normal = sdf_normal(data, flat_sid, p_hit)
+    lam = jnp.maximum(jnp.sum(normal * _LIGHT_DIR, -1), 0.0)
+    rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
+    rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(n, H, W, 3)
+    return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
+
+
+def render_sensors(env, state) -> Dict[str, Array]:
+    """Render every sensor in ``env.sensor_kwargs`` (the per-agent sensor
+    suite of `SceneManager.py:1013-1035`)."""
+    if env.scene is None:
+        return {}
+    out: Dict[str, Array] = {}
+    sid = env._scene_ids()
+    objects = None
+    if env.objects is not None and state.objects != ():
+        S = env.num_scene
+        m = env.objects.num_objects // S
+        objects = (
+            state.objects.pos.reshape(S, m, 3),
+            env.objects.radius.reshape(S, m),
+        )
+    for spec in env.sensor_kwargs:
+        res = render_camera(
+            env.scene,
+            sid,
+            state.dyn.pos,
+            state.dyn.q,
+            spec,
+            n_steps=int(env.scene_kwargs.get("trace_steps", 48)),
+            objects=objects,
+            num_scene=env.num_scene,
+        )
+        for k, v in res.items():
+            out[spec.get("uuid", k)] = v
+    return out

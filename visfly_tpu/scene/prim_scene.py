@@ -1,0 +1,240 @@
+"""Packed analytic-primitive scenes — the gather-free TPU fast path.
+
+Grid-SDF sampling needs 8 random gathers per sample; XLA lowers gathers on
+TPU to ~1e8 elems/s, hopelessly short of the ~1e10 samples/s the renderer
+needs. This module instead packs every scene's primitives into a dense
+``(S, K, 12)`` parameter tensor and evaluates all K primitive SDFs per query
+point with pure VPU arithmetic (≈50 flops/primitive), min-reduced over K —
+zero gathers, exact geometry, exact (autodiff) normals.
+
+Ray/agent batches are reshaped to ``(S, per_scene, …)`` and vmapped over the
+scene axis, so per-scene parameters are indexed statically — also no
+gathers. This is the default backend for procedural scenes; the dense-grid
+backend (scene.py / queries.py) remains for imported meshes.
+
+Primitive families (packed in the same row layout):
+  family 0 — rounded box, optionally yaw-rotated and sign-inverted
+             (sphere = he=0+radius; room = inverted box; gate = 4 bars)
+  family 1 — capsule (columns, moving obstacles)
+
+Row layout (12 floats):
+  [0:3]  center (family 0) / endpoint a (family 1)
+  [3:6]  half_extents (family 0) / endpoint b (family 1)
+  [6]    radius (rounding / capsule radius)
+  [7]    cos(yaw), [8] sin(yaw)
+  [9]    sign (+1 solid, −1 inverted room)
+  [10]   family
+  [11]   active (0 ⇒ +inf distance; pads scenes to a common K)
+"""
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from .scene import SceneSpec
+
+BIG = 1e9
+
+
+class PrimitiveScene(NamedTuple):
+    params: Array  # (S, K, 12)
+    colors: Array  # (S, K, 3) float32 (0..255)
+    semantic: Array  # (S, K) int32
+    bbox: Array  # (2, 3)
+    eps: Array  # () nominal surface epsilon
+
+    @property
+    def num_scene(self) -> int:
+        return self.params.shape[0]
+
+
+def _rows_for_primitive(pr: dict) -> List[np.ndarray]:
+    """Lower one SceneSpec primitive dict into packed rows."""
+    t = pr["type"]
+    rows = []
+
+    def row(center, he, radius=0.0, yaw=0.0, sign=1.0, family=0.0):
+        r = np.zeros(12, np.float32)
+        r[0:3] = center
+        r[3:6] = he
+        r[6] = radius
+        r[7] = np.cos(yaw)
+        r[8] = np.sin(yaw)
+        r[9] = sign
+        r[10] = family
+        r[11] = 1.0
+        return r
+
+    if t == "box":
+        rows.append(row(pr["center"], pr["half_extents"]))
+    elif t == "sphere":
+        rows.append(row(pr["center"], [0.0, 0.0, 0.0], radius=pr["radius"]))
+    elif t == "room":
+        lo = np.asarray(pr["bounds_min"], np.float32)
+        hi = np.asarray(pr["bounds_max"], np.float32)
+        rows.append(row((lo + hi) / 2, (hi - lo) / 2, sign=-1.0))
+    elif t == "cylinder":
+        c = np.asarray(pr["center"], np.float32)
+        hh, rad = float(pr["half_height"]), float(pr["radius"])
+        a = c + [0, 0, -(hh - rad)]
+        b = c + [0, 0, +(hh - rad)]
+        r = np.zeros(12, np.float32)
+        r[0:3], r[3:6], r[6], r[10], r[9], r[11] = a, b, rad, 1.0, 1.0, 1.0
+        rows.append(r)
+    elif t == "capsule":
+        r = np.zeros(12, np.float32)
+        r[0:3], r[3:6], r[6], r[10], r[9], r[11] = (
+            np.asarray(pr["a"], np.float32),
+            np.asarray(pr["b"], np.float32),
+            float(pr["radius"]),
+            1.0,
+            1.0,
+            1.0,
+        )
+        rows.append(r)
+    elif t == "gate":
+        c = np.asarray(pr["center"], np.float32)
+        yaw = float(pr.get("yaw", 0.0))
+        ih, th_ = float(pr["inner_half"]), float(pr["thickness"])
+        outer = ih + 2 * th_
+        cy, sy = np.cos(yaw), np.sin(yaw)
+
+        def world(local):
+            lx, ly, lz = local
+            return c + np.asarray([cy * lx - sy * ly, sy * lx + cy * ly, lz])
+
+        bar = th_
+        # top/bottom bars span full outer width; side bars fill between
+        rows.append(row(world([0, 0, +(ih + bar)]), [bar, outer, bar], yaw=yaw))
+        rows.append(row(world([0, 0, -(ih + bar)]), [bar, outer, bar], yaw=yaw))
+        rows.append(row(world([0, +(ih + bar), 0]), [bar, bar, ih], yaw=yaw))
+        rows.append(row(world([0, -(ih + bar), 0]), [bar, bar, ih], yaw=yaw))
+    else:
+        raise ValueError(f"unsupported primitive type {t!r}")
+    return rows
+
+
+def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01) -> PrimitiveScene:
+    """SceneSpec list → PrimitiveScene (scenes padded to a common K)."""
+    all_rows, all_colors, all_sems = [], [], []
+    for spec in specs:
+        rows, colors, sems = [], [], []
+        for pr in spec.primitives:
+            prs = _rows_for_primitive(pr)
+            col = np.asarray(pr.get("color", [180, 180, 180]), np.float32)
+            sem = int(pr.get("semantic", 0))
+            for r in prs:
+                rows.append(r)
+                colors.append(col)
+                sems.append(sem)
+        all_rows.append(np.stack(rows))
+        all_colors.append(np.stack(colors))
+        all_sems.append(np.asarray(sems, np.int32))
+
+    K = max(r.shape[0] for r in all_rows)
+    S = len(specs)
+    params = np.zeros((S, K, 12), np.float32)
+    colors = np.zeros((S, K, 3), np.float32)
+    sems = np.zeros((S, K), np.int32)
+    for i, (r, c, s) in enumerate(zip(all_rows, all_colors, all_sems)):
+        params[i, : r.shape[0]] = r
+        colors[i, : c.shape[0]] = c
+        sems[i, : s.shape[0]] = s
+
+    lo = np.min([s.bounds_min for s in specs], axis=0)
+    hi = np.max([s.bounds_max for s in specs], axis=0)
+    return PrimitiveScene(
+        params=jnp.asarray(params),
+        colors=jnp.asarray(colors),
+        semantic=jnp.asarray(sems),
+        bbox=jnp.asarray(np.stack([lo, hi]), jnp.float32),
+        eps=jnp.asarray(eps, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense evaluation (the hot path)
+# ---------------------------------------------------------------------------
+
+
+def prim_distances(params: Array, p: Array) -> Array:
+    """All primitive distances for one scene. params (K,12), p (..., 3) →
+    (..., K). Pure elementwise math, no gathers."""
+    pe = p[..., None, :]  # (..., 1, 3)
+    c = params[:, 0:3]
+    he = params[:, 3:6]
+    radius = params[:, 6]
+    cy, sy = params[:, 7], params[:, 8]
+    sign = params[:, 9]
+    family = params[:, 10]
+    active = params[:, 11]
+
+    # family 0: yaw-rotated rounded box
+    d0 = pe - c
+    x = cy * d0[..., 0] + sy * d0[..., 1]
+    y = -sy * d0[..., 0] + cy * d0[..., 1]
+    z = d0[..., 2]
+    qx = jnp.abs(x) - he[:, 0]
+    qy = jnp.abs(y) - he[:, 1]
+    qz = jnp.abs(z) - he[:, 2]
+    ox = jnp.maximum(qx, 0.0)
+    oy = jnp.maximum(qy, 0.0)
+    oz = jnp.maximum(qz, 0.0)
+    outside = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-12)
+    inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+    d_box = (outside + inside - radius) * sign
+
+    # family 1: capsule a→b
+    a = c
+    b = he
+    pa = pe - a
+    ba = b - a
+    denom = jnp.sum(ba * ba, axis=-1) + 1e-9
+    h = jnp.clip(jnp.sum(pa * ba, axis=-1) / denom, 0.0, 1.0)
+    diff = pa - ba * h[..., None]
+    d_cap = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12) - radius
+
+    d = jnp.where(family < 0.5, d_box, d_cap)
+    return jnp.where(active > 0.5, d, BIG)
+
+
+def prim_sdf(params: Array, p: Array) -> Array:
+    """Scene SDF for one scene: min over K. p (..., 3) → (...)."""
+    return jnp.min(prim_distances(params, p), axis=-1)
+
+
+def scene_sdf_grouped(scene: PrimitiveScene, p: Array) -> Array:
+    """p (S, Ns, 3) → (S, Ns): vmap over the scene axis (static per-scene
+    params, zero gathers)."""
+    return jax.vmap(prim_sdf)(scene.params, p)
+
+
+def scene_sdf_flat(scene: PrimitiveScene, sid: Array, p: Array) -> Array:
+    """Flat API (N,3)+(N,) — used by randomizer rejection paths where the
+    batch isn't scene-contiguous. Falls back to gathering the per-scene
+    params only when S > 1 (params are small: K×12)."""
+    if scene.num_scene == 1:
+        return prim_sdf(scene.params[0], p)
+    params = scene.params[sid]  # (N, K, 12) — small K, acceptable
+    return jax.vmap(prim_sdf)(params, p)
+
+
+def scene_normal_grouped(scene: PrimitiveScene, p: Array) -> Array:
+    """Exact outward normals via autodiff of the min-SDF (each output depends
+    only on its own point, so grad-of-sum yields per-point gradients)."""
+    def per_scene(params, pts):
+        g = jax.grad(lambda q: jnp.sum(prim_sdf(params, q)))(pts)
+        return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+
+    return jax.vmap(per_scene)(scene.params, p)
+
+
+def nearest_primitive_grouped(scene: PrimitiveScene, p: Array) -> Array:
+    """(S, Ns) argmin primitive index (for color/semantic shading)."""
+    return jax.vmap(lambda prm, pts: jnp.argmin(prim_distances(prm, pts), -1))(
+        scene.params, p
+    )

@@ -1,0 +1,378 @@
+"""Scene construction and device-resident scene data.
+
+Replaces the reference's SceneManager + habitat scene loading
+(`/root/reference/utils/SceneManager.py:826-929`) and the procedural
+``SceneGenerator`` (`/root/reference/utils/datasets/datasets.py:90-300`):
+scenes are described as primitive lists, baked host-side into dense SDF (+
+albedo + semantic-id) grids, and stacked into one ``SceneData`` pytree that
+lives in HBM for the whole training run — rendering, collision queries and
+spawn rejection all read from it without any host round-trip.
+
+Named presets mirror the reference dataset scene families (visfly-beta):
+``box15_wall_empty`` (the non-visual empty box world, `droneEnv.py:67-72`),
+``garage_simple``, ``garage_crossing``, ``garage_landing``, ``racing``,
+``forest`` (random columns), ``box_random`` (random boxes/spheres).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import primitives as prim
+
+
+# ---------------------------------------------------------------------------
+# host-side scene description
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    """One scene: bounds + primitive list (with color/semantic metadata)."""
+
+    bounds_min: np.ndarray
+    bounds_max: np.ndarray
+    primitives: List[Dict[str, Any]]
+    name: str = "scene"
+
+    def sdf(self, p: np.ndarray) -> np.ndarray:
+        return prim.eval_scene_sdf(p, self.primitives)
+
+
+def best_candidate_points(
+    rng: np.random.Generator,
+    n: int,
+    bounds_min: np.ndarray,
+    bounds_max: np.ndarray,
+    n_candidates: int = 16,
+) -> np.ndarray:
+    """Mitchell best-candidate (blue-noise) placement, mirroring
+    ``datasets.py:170-300``: each new point is the candidate farthest from
+    all previously chosen points."""
+    pts: List[np.ndarray] = []
+    for _ in range(n):
+        cand = rng.uniform(bounds_min, bounds_max, size=(n_candidates, len(bounds_min)))
+        if not pts:
+            pts.append(cand[0])
+            continue
+        d = np.linalg.norm(
+            cand[:, None, :] - np.asarray(pts)[None, :, :], axis=-1
+        ).min(axis=1)
+        pts.append(cand[int(np.argmax(d))])
+    return np.asarray(pts)
+
+
+_COLORS = np.asarray(
+    [
+        [188, 143, 143],
+        [112, 128, 144],
+        [160, 82, 45],
+        [85, 107, 47],
+        [70, 130, 180],
+        [205, 133, 63],
+        [119, 136, 153],
+        [139, 69, 19],
+    ],
+    dtype=np.uint8,
+)
+
+
+def _room(bmin, bmax) -> Dict[str, Any]:
+    return {
+        "type": "room",
+        "bounds_min": np.asarray(bmin, np.float32),
+        "bounds_max": np.asarray(bmax, np.float32),
+        "color": np.asarray([210, 210, 205], np.uint8),
+        "semantic": 1,
+    }
+
+
+def make_scene(name: str, seed: int = 42, **kwargs) -> SceneSpec:
+    """Procedural scene presets (counterparts of the visfly-beta scenes)."""
+    rng = np.random.default_rng(seed)
+
+    if name in ("box15_wall_empty", "empty"):
+        bmin, bmax = np.asarray([-30.0, -30.0, 0.0]), np.asarray([30.0, 30.0, 8.0])
+        return SceneSpec(bmin, bmax, [_room(bmin, bmax)], name)
+
+    if name in ("garage_simple", "garage_simple_l_medium", "cluttered"):
+        # rectangular garage with random columns and boxes between spawn
+        # (x≈1) and target (x≈9..14) — the cluttered_flight setting
+        bmin, bmax = np.asarray([-2.0, -6.0, 0.0]), np.asarray([18.0, 6.0, 5.0])
+        prims = [_room(bmin, bmax)]
+        n_obs = kwargs.get("n_obstacles", 14)
+        pts = best_candidate_points(
+            rng, n_obs, np.asarray([2.5, -5.0]), np.asarray([13.0, 5.0])
+        )
+        for i, (x, y) in enumerate(pts):
+            if rng.uniform() < 0.6:
+                prims.append(
+                    {
+                        "type": "cylinder",
+                        "center": np.asarray([x, y, 2.5], np.float32),
+                        "radius": float(rng.uniform(0.25, 0.5)),
+                        "half_height": 2.5,
+                        "color": _COLORS[i % len(_COLORS)],
+                        "semantic": 2 + (i % 8),
+                    }
+                )
+            else:
+                prims.append(
+                    {
+                        "type": "box",
+                        "center": np.asarray(
+                            [x, y, float(rng.uniform(0.6, 1.8))], np.float32
+                        ),
+                        "half_extents": np.asarray(
+                            [
+                                rng.uniform(0.3, 0.8),
+                                rng.uniform(0.3, 0.8),
+                                rng.uniform(0.6, 1.8),
+                            ],
+                            np.float32,
+                        ),
+                        "color": _COLORS[i % len(_COLORS)],
+                        "semantic": 2 + (i % 8),
+                    }
+                )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    if name in ("garage_crossing", "crossing"):
+        bmin, bmax = np.asarray([-8.0, -8.0, 0.0]), np.asarray([8.0, 8.0, 5.0])
+        prims = [_room(bmin, bmax)]
+        for i, (x, y) in enumerate(
+            best_candidate_points(rng, kwargs.get("n_obstacles", 10),
+                                  np.asarray([-6.0, -6.0]), np.asarray([6.0, 6.0]))
+        ):
+            prims.append(
+                {
+                    "type": "cylinder",
+                    "center": np.asarray([x, y, 2.5], np.float32),
+                    "radius": float(rng.uniform(0.2, 0.45)),
+                    "half_height": 2.5,
+                    "color": _COLORS[i % len(_COLORS)],
+                    "semantic": 2 + (i % 8),
+                }
+            )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    if name in ("garage_landing", "landing"):
+        bmin, bmax = np.asarray([-4.0, -4.0, 0.0]), np.asarray([8.0, 4.0, 5.0])
+        prims = [_room(bmin, bmax)]
+        # landing pad: a dark flat box — the reference pad is detected by a
+        # dark-pixel threshold (channel mean < 70, `LandingEnv.py:73`)
+        prims.append(
+            {
+                "type": "box",
+                "center": np.asarray(kwargs.get("pad_center", [2.0, 0.0, 0.05]), np.float32),
+                "half_extents": np.asarray([0.5, 0.5, 0.05], np.float32),
+                "color": np.asarray([35, 35, 40], np.uint8),
+                "semantic": 9,
+            }
+        )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    if name in ("racing", "racing_gates"):
+        bmin, bmax = np.asarray([-12.0, -12.0, 0.0]), np.asarray([12.0, 12.0, 6.0])
+        prims = [_room(bmin, bmax)]
+        gates = kwargs.get(
+            "gates",
+            [
+                ([6.0, 0.0, 2.0], np.pi / 2),
+                ([0.0, 6.0, 2.0], 0.0),
+                ([-6.0, 0.0, 2.0], np.pi / 2),
+                ([0.0, -6.0, 2.0], 0.0),
+            ],
+        )
+        for i, (c, yaw) in enumerate(gates):
+            prims.append(
+                {
+                    "type": "gate",
+                    "center": np.asarray(c, np.float32),
+                    "yaw": float(yaw),
+                    "inner_half": 0.7,
+                    "thickness": 0.08,
+                    "color": np.asarray([240, 120, 20], np.uint8),
+                    "semantic": 10 + i,
+                }
+            )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    if name == "forest":
+        bmin, bmax = np.asarray([-10.0, -10.0, 0.0]), np.asarray([10.0, 10.0, 6.0])
+        prims = [_room(bmin, bmax)]
+        for i, (x, y) in enumerate(
+            best_candidate_points(rng, kwargs.get("n_obstacles", 24),
+                                  bmin[:2] + 1, bmax[:2] - 1)
+        ):
+            prims.append(
+                {
+                    "type": "cylinder",
+                    "center": np.asarray([x, y, 3.0], np.float32),
+                    "radius": float(rng.uniform(0.15, 0.35)),
+                    "half_height": 3.0,
+                    "color": _COLORS[i % len(_COLORS)],
+                    "semantic": 2,
+                }
+            )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    if name == "box_random":
+        bmin, bmax = np.asarray([-8.0, -8.0, 0.0]), np.asarray([8.0, 8.0, 5.0])
+        prims = [_room(bmin, bmax)]
+        for i, (x, y) in enumerate(
+            best_candidate_points(rng, kwargs.get("n_obstacles", 12),
+                                  bmin[:2] + 1, bmax[:2] - 1)
+        ):
+            prims.append(
+                {
+                    "type": "sphere" if rng.uniform() < 0.3 else "box",
+                    "center": np.asarray([x, y, rng.uniform(0.5, 2.0)], np.float32),
+                    "radius": float(rng.uniform(0.3, 0.8)),
+                    "half_extents": np.asarray(
+                        [rng.uniform(0.3, 0.9)] * 3, np.float32
+                    ),
+                    "color": _COLORS[i % len(_COLORS)],
+                    "semantic": 2 + (i % 8),
+                }
+            )
+        return SceneSpec(bmin, bmax, prims, name)
+
+    raise ValueError(f"unknown scene preset {name!r}")
+
+
+SCENE_PATH_ALIASES = {
+    # reference dataset paths (`exps/examples/env_cfgs/*.yaml`) → presets
+    "box15_wall_empty": "box15_wall_empty",
+    "box15_center_wall_empty": "box15_wall_empty",
+    "garage_simple_l_medium": "garage_simple",
+    "garage_crossing": "garage_crossing",
+    "garage_landing": "garage_landing",
+    "racing": "racing",
+}
+
+
+def resolve_scene_path(path: str) -> str:
+    """Map a reference-style dataset path to a preset name."""
+    base = path.rstrip("/").split("/")[-1]
+    return SCENE_PATH_ALIASES.get(base, base)
+
+
+# ---------------------------------------------------------------------------
+# baking: SceneSpec → dense grids → SceneData (device pytree)
+# ---------------------------------------------------------------------------
+
+
+class SceneData(NamedTuple):
+    """Stacked multi-scene grids resident in HBM.
+
+    sdf: (S, X, Y, Z) float32 — signed distance
+    albedo: (S, X, Y, Z, 3) uint8 — nearest-primitive color (zero-size array
+        when color rendering is off)
+    semantic: (S, X, Y, Z) uint8 — nearest-primitive semantic id
+    origin: (3,) float32 grid frame origin (shared across scenes)
+    spacing: () float32 cell size
+    bbox: (2, 3) float32 world bounds (union)
+    """
+
+    sdf: Any
+    albedo: Any
+    semantic: Any
+    origin: Any
+    spacing: Any
+    bbox: Any
+
+    @property
+    def num_scene(self):
+        return self.sdf.shape[0]
+
+
+def bake_scenes(
+    specs: Sequence[SceneSpec],
+    spacing: float = 0.1,
+    margin: float = 0.4,
+    with_color: bool = True,
+    max_cells: int = 384,
+) -> SceneData:
+    """Evaluate primitive SDFs on a shared dense grid and stack.
+
+    All scenes share one grid frame sized to the union of their bounds (a
+    static shape requirement — scene heterogeneity must not change shapes,
+    SURVEY §7 hard part (c))."""
+    import jax.numpy as jnp
+
+    lo = np.min([s.bounds_min for s in specs], axis=0) - margin
+    hi = np.max([s.bounds_max for s in specs], axis=0) + margin
+    shape = np.minimum(
+        np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells
+    )
+    spacing = float(np.max((hi - lo) / (shape - 1)))
+    xs = lo[0] + np.arange(shape[0]) * spacing
+    ys = lo[1] + np.arange(shape[1]) * spacing
+    zs = lo[2] + np.arange(shape[2]) * spacing
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).astype(np.float32)  # (X,Y,Z,3)
+
+    sdfs, colors, sems = [], [], []
+    for spec in specs:
+        d = None
+        nearest = None
+        for idx, pr in enumerate(spec.primitives):
+            di = prim.eval_primitive(pts, pr).astype(np.float32)
+            if d is None:
+                d, nearest = di, np.zeros(di.shape, np.int16)
+            else:
+                closer = di < d
+                d = np.where(closer, di, d)
+                nearest = np.where(closer, idx, nearest)
+        sdfs.append(d)
+        col = np.zeros((*d.shape, 3), np.uint8)
+        sem = np.zeros(d.shape, np.uint8)
+        for idx, pr in enumerate(spec.primitives):
+            m = nearest == idx
+            col[m] = pr.get("color", np.asarray([180, 180, 180], np.uint8))
+            sem[m] = pr.get("semantic", 0)
+        colors.append(col)
+        sems.append(sem)
+
+    albedo = (
+        jnp.asarray(np.stack(colors))
+        if with_color
+        else jnp.zeros((len(specs), 0, 0, 0, 3), jnp.uint8)
+    )
+    return SceneData(
+        sdf=jnp.asarray(np.stack(sdfs)),
+        albedo=albedo,
+        semantic=jnp.asarray(np.stack(sems)),
+        origin=jnp.asarray(lo, jnp.float32),
+        spacing=jnp.asarray(spacing, jnp.float32),
+        bbox=jnp.asarray(np.stack([lo + margin, hi - margin]), jnp.float32),
+    )
+
+
+def load_scenes_for_env(env):
+    """Build the device scene from an env's scene_kwargs (reference
+    ``SceneManager.load_scenes``, `SceneManager.py:826-891`).
+
+    Default backend is the gather-free packed-primitive scene
+    (`prim_scene.py`); pass ``scene_kwargs={"backend": "grid"}`` for the
+    dense-grid (mesh) backend."""
+    kw = dict(env.scene_kwargs)
+    path = kw.get("path", "box15_wall_empty")
+    preset = resolve_scene_path(path)
+    seed = kw.get("seed", env.seed)
+    specs = [
+        make_scene(preset, seed=seed + i, **kw.get("scene_gen_kwargs", {}))
+        for i in range(env.num_scene)
+    ]
+    if kw.get("backend", "primitive") == "grid":
+        return bake_scenes(
+            specs,
+            spacing=kw.get("sdf_spacing", 0.1),
+            with_color=kw.get("with_color", True),
+        )
+    from .prim_scene import pack_scenes
+
+    return pack_scenes(specs)
