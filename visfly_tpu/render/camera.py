@@ -66,6 +66,33 @@ def pixel_dirs_body(spec: Dict) -> np.ndarray:
     return dirs.astype(np.float32), forward.astype(np.float32)
 
 
+def tile_cones_body(spec: Dict, tile: int = 8):
+    """Per-tile cone prepass geometry (host-side constants).
+
+    Splits the H×W pixel grid into (H/t)×(W/t) tiles and returns
+    (tile_dirs (Ht·Wt, 3) — the normalised mean pixel direction per tile,
+    tile_tan (Ht·Wt,) — tan of the cone half-angle that conservatively
+    contains every pixel ray of the tile). Used by the hierarchical sphere
+    tracer: a cone that marches with radius t·tanθ cannot overshoot any of
+    its pixel rays' first hits."""
+    dirs, _f = pixel_dirs_body(spec)
+    H, W = dirs.shape[:2]
+    t = tile
+    if H % t or W % t:
+        return None, None
+    tiles = dirs.reshape(H // t, t, W // t, t, 3).transpose(0, 2, 1, 3, 4)
+    tiles = tiles.reshape(H // t, W // t, t * t, 3)
+    center = tiles.mean(axis=2)
+    center = center / np.linalg.norm(center, axis=-1, keepdims=True)
+    cos = np.einsum("hwc,hwpc->hwp", center, tiles).min(axis=-1)
+    cos = np.clip(cos, 1e-3, 1.0)
+    tan = np.sqrt(1.0 - cos**2) / cos
+    return (
+        center.reshape(-1, 3).astype(np.float32),
+        tan.reshape(-1).astype(np.float32),
+    )
+
+
 def camera_rays(
     spec: Dict, pos: Array, q: Array
 ) -> Tuple[Array, Array, Array]:

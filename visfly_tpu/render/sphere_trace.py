@@ -42,18 +42,7 @@ _LIGHT_DIR = jnp.asarray([0.33798, 0.24142, 0.90966])  # normalised
 # ---------------------------------------------------------------------------
 
 
-def _trace_one_scene(
-    params: Array,
-    origins: Array,
-    dirs: Array,
-    obj_pos: Optional[Array],
-    obj_radius: Optional[Array],
-    n_steps: int,
-    max_depth: float,
-    eps: float,
-) -> Tuple[Array, Array]:
-    """Trace R rays against one scene's primitives (+ dynamic objects)."""
-
+def _scene_sdf_fn(params, obj_pos, obj_radius):
     def sdf(p):
         d = prim_sdf(params, p)
         if obj_pos is not None:
@@ -64,6 +53,23 @@ def _trace_one_scene(
             d = jnp.minimum(d, jnp.min(do, axis=-1))
         return d
 
+    return sdf
+
+
+def _trace_one_scene(
+    params: Array,
+    origins: Array,
+    dirs: Array,
+    obj_pos: Optional[Array],
+    obj_radius: Optional[Array],
+    n_steps: int,
+    max_depth: float,
+    eps: float,
+    t_init: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Trace R rays against one scene's primitives (+ dynamic objects)."""
+    sdf = _scene_sdf_fn(params, obj_pos, obj_radius)
+
     def body(_, carry):
         t, done = carry
         p = origins + dirs * t[:, None]
@@ -72,13 +78,53 @@ def _trace_one_scene(
         t = jnp.where(done, t, t + d)
         return t, done
 
-    t0 = jnp.zeros(origins.shape[0], origins.dtype)
+    t0 = (
+        jnp.zeros(origins.shape[0], origins.dtype)
+        if t_init is None
+        else t_init.astype(origins.dtype)
+    )
     done0 = jnp.zeros(origins.shape[0], bool)
     t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
     # sub-eps refinement: advance by the residual signed distance
     t = jnp.clip(t + sdf(origins + dirs * t[:, None]), 0.0, max_depth)
-    hit = done & (t < max_depth)
+    # rays that exhausted the step budget without converging (grazing
+    # incidence) report the marched t — a tight lower bound on the true
+    # depth — rather than snapping to background.
+    hit = t < max_depth
     return jnp.where(hit, t, max_depth), hit
+
+
+def _trace_cones_one_scene(
+    params: Array,
+    origins: Array,  # (T, 3)
+    dirs: Array,  # (T, 3) tile-centre directions
+    tan: Array,  # (T,) cone half-angle tangents
+    obj_pos: Optional[Array],
+    obj_radius: Optional[Array],
+    n_steps: int,
+    max_depth: float,
+    eps: float,
+) -> Array:
+    """Conservative cone march (hierarchical prepass): advance while the SDF
+    exceeds the cone radius t·tanθ; the returned t cannot overshoot the
+    first hit of ANY pixel ray inside the cone. Damped step (÷(1+tanθ))
+    keeps the between-sample invariant for off-axis rays."""
+    sdf = _scene_sdf_fn(params, obj_pos, obj_radius)
+    damp = 1.0 / (1.0 + tan)
+
+    def body(_, carry):
+        t, done = carry
+        p = origins + dirs * t[:, None]
+        d = sdf(p)
+        margin = d - t * tan
+        done = done | (margin < eps) | (t >= max_depth)
+        t = jnp.where(done, t, t + margin * damp)
+        return t, done
+
+    t0 = jnp.zeros(origins.shape[0], origins.dtype)
+    done0 = jnp.zeros(origins.shape[0], bool)
+    t, _done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+    return jnp.maximum(t - 2.0 * eps, 0.0)
 
 
 def trace_grouped(
@@ -88,18 +134,45 @@ def trace_grouped(
     objects=None,  # (obj_pos (S, M, 3), obj_radius (S, M)) or None
     n_steps: int = 48,
     max_depth: float = DEFAULT_MAX_DEPTH,
+    t_init: Optional[Array] = None,  # (S, R) warm-start distances
 ) -> Tuple[Array, Array]:
     eps = float(scene.eps)
     if objects is None:
-        fn = lambda prm, o, d: _trace_one_scene(
-            prm, o, d, None, None, n_steps, max_depth, eps
+        fn = lambda prm, o, d, t0: _trace_one_scene(
+            prm, o, d, None, None, n_steps, max_depth, eps, t0
         )
-        return jax.vmap(fn)(scene.params, origins, dirs)
+        if t_init is None:
+            t_init = jnp.zeros(origins.shape[:2], origins.dtype)
+        return jax.vmap(fn)(scene.params, origins, dirs, t_init)
     obj_pos, obj_radius = objects
-    fn = lambda prm, o, d, op, orad: _trace_one_scene(
-        prm, o, d, op, orad, n_steps, max_depth, eps
+    fn = lambda prm, o, d, op, orad, t0: _trace_one_scene(
+        prm, o, d, op, orad, n_steps, max_depth, eps, t0
     )
-    return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius)
+    if t_init is None:
+        t_init = jnp.zeros(origins.shape[:2], origins.dtype)
+    return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius, t_init)
+
+
+def trace_cones_grouped(
+    scene: PrimitiveScene,
+    origins: Array,  # (S, T, 3)
+    dirs: Array,  # (S, T, 3)
+    tan: Array,  # (S, T)
+    objects=None,
+    n_steps: int = 32,
+    max_depth: float = DEFAULT_MAX_DEPTH,
+) -> Array:
+    eps = float(scene.eps)
+    if objects is None:
+        fn = lambda prm, o, d, tg: _trace_cones_one_scene(
+            prm, o, d, tg, None, None, n_steps, max_depth, eps
+        )
+        return jax.vmap(fn)(scene.params, origins, dirs, tan)
+    obj_pos, obj_radius = objects
+    fn = lambda prm, o, d, tg, op, orad: _trace_cones_one_scene(
+        prm, o, d, tg, op, orad, n_steps, max_depth, eps
+    )
+    return jax.vmap(fn)(scene.params, origins, dirs, tan, obj_pos, obj_radius)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +209,7 @@ def trace_rays(
     done0 = jnp.zeros(origins.shape[0], bool)
     t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
     t = jnp.clip(t + sample_sdf(data, sid, origins + dirs * t[:, None]), 0.0, max_depth)
-    hit = done & (t < max_depth)
+    hit = t < max_depth
     return jnp.where(hit, t, max_depth), hit
 
 
@@ -199,7 +272,43 @@ def render_camera(
         R = (n // S) * H * W
         o_g = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(S, R, 3)
         d_g = dirs.reshape(S, R, 3)
-        t, hit = trace_grouped(data, o_g, d_g, objects, n_steps, max_depth)
+
+        # optional hierarchical prepass: one conservative cone per tile of
+        # pixels, then per-pixel rays warm-start from the tile depth. Off by
+        # default: in cluttered rooms grazing rays dominate and the halved
+        # per-pixel budget costs more accuracy than the prepass buys.
+        t_init = None
+        pixel_steps = n_steps
+        tile = int(spec.get("tile", 1))
+        if tile > 1 and H % tile == 0 and W % tile == 0 and H >= tile:
+            from .camera import tile_cones_body
+            from ..core import quaternion as quat
+
+            tdirs_body, ttan = tile_cones_body(spec, tile)
+            if tdirs_body is not None:
+                Tn = tdirs_body.shape[0]
+                tb = jnp.asarray(tdirs_body).reshape(1, Tn, 3)
+                tdirs = quat.rotate_fused(
+                    q[:, None, :], jnp.broadcast_to(tb, (n, Tn, 3))
+                )
+                to_g = jnp.broadcast_to(
+                    origins[:, None, :], (n, Tn, 3)
+                ).reshape(S, (n // S) * Tn, 3)
+                td_g = tdirs.reshape(S, (n // S) * Tn, 3)
+                tan_g = jnp.broadcast_to(
+                    jnp.asarray(ttan)[None], (n, Tn)
+                ).reshape(S, (n // S) * Tn)
+                t_tile = trace_cones_grouped(
+                    data, to_g, td_g, tan_g, objects, n_steps, max_depth
+                )
+                # expand (n, Ht, Wt) tile depths to per-pixel warm starts
+                t_tile = t_tile.reshape(n, H // tile, W // tile)
+                t_px = jnp.repeat(jnp.repeat(t_tile, tile, axis=1), tile, axis=2)
+                t_init = t_px.reshape(S, R)
+                pixel_steps = max(8, n_steps // 2)
+
+        t, hit = trace_grouped(data, o_g, d_g, objects, pixel_steps, max_depth,
+                               t_init=t_init)
         t_flat = t.reshape(n, H, W)
         hit_flat = hit.reshape(n, H, W)
         if stype == "depth":

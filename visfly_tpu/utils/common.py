@@ -1,0 +1,65 @@
+"""Shared utilities: config loading, seeding, image helpers.
+
+Counterpart of `/root/reference/utils/common.py` — minus the habitat↔ENU
+coordinate permutations (`common.py:89-179`), which this framework does not
+need (everything is ENU end to end).
+"""
+from __future__ import annotations
+
+import copy
+import os
+import random
+from typing import Any, Dict
+
+import numpy as np
+
+
+def deep_merge(origin: Dict, target: Dict) -> Dict:
+    """Recursive dict merge, target wins (`common.py:214-230`)."""
+    result = copy.deepcopy(origin)
+    for key, tv in target.items():
+        ov = result.get(key)
+        if isinstance(ov, dict) and isinstance(tv, dict):
+            result[key] = deep_merge(ov, tv)
+        else:
+            result[key] = copy.deepcopy(tv)
+    return result
+
+
+def load_yaml_config(path: str) -> Dict:
+    """YAML experiment config; ``eval_env`` inherits ``env``
+    (`common.py:232-237`)."""
+    import yaml
+
+    with open(path, "r") as f:
+        config = yaml.safe_load(f)
+    if "env" in config and "eval_env" in config:
+        config["eval_env"] = deep_merge(origin=config["env"], target=config["eval_env"])
+    elif "env" in config:
+        config["eval_env"] = copy.deepcopy(config["env"])
+    return config
+
+
+def set_seed(seed: int) -> None:
+    """Seed every host RNG (`common.py:182-195`). JAX randomness is explicit
+    via keys, so this covers numpy/python used by host-side scene gen."""
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def depth2rgb(depth: np.ndarray, max_depth: float = 20.0) -> np.ndarray:
+    """Depth (H, W) → uint8 heat image (for video export, `common.py`)."""
+    d = np.clip(np.asarray(depth, np.float32) / max_depth, 0, 1)
+    r = np.clip(1.5 - np.abs(2.0 * d - 1.0) * 2.0, 0, 1)
+    g = np.clip(1.5 - np.abs(2.0 * d - 0.5) * 2.0, 0, 1)
+    b = np.clip(1.5 - np.abs(2.0 * d) * 2.0, 0, 1)
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+
+
+def rgba2rgb(img: np.ndarray) -> np.ndarray:
+    return img[..., :3]
+
+
+def obs_list2array(obs_list, *shape):
+    return np.stack([np.asarray(o) for o in obs_list]).reshape(*shape)
