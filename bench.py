@@ -70,7 +70,7 @@ def main():
     env = NavigationEnv(
         num_agent_per_scene=256,
         visual=True,
-        scene_kwargs={"path": "garage_simple_l_medium", "trace_steps": 32},
+        scene_kwargs={"path": "garage_simple_l_medium", "trace_steps": 40},
         sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
                         "resolution": [64, 64]}],
         random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [

@@ -17,10 +17,16 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
 
-import jax.numpy as jnp  # noqa: E402
+@pytest.fixture(autouse=True)
+def x64():
+    """Float64 for parity tests only — scoped so the flag does not leak into
+    other test modules (jit caches elsewhere assume f32)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 from visfly_tpu.dynamics import (  # noqa: E402
     DroneConfig,

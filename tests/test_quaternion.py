@@ -7,7 +7,14 @@ import pytest
 
 from visfly_tpu.core import quaternion as quat
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True)
+def x64():
+    """Run these tests in float64 without leaking the flag to other modules
+    (a module-level config.update would flip global state at collection)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def random_unit_quats(rng, n):

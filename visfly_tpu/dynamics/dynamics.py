@@ -35,7 +35,11 @@ from ..core import quaternion as quat
 from ..core.types import ActionType
 from .config import GRAVITY, DroneConfig, DroneParams
 
-G_VEC = jnp.asarray([0.0, 0.0, -GRAVITY])
+def _g_vec(dtype) -> Array:
+    """Gravity vector constructed at trace time so its precision follows the
+    computation dtype (a module-level constant would freeze the float32
+    rounding of 9.81 into float64 parity runs)."""
+    return jnp.asarray([0.0, 0.0, -GRAVITY], dtype)
 
 
 class DynState(NamedTuple):
@@ -216,7 +220,7 @@ def _thrust_from_cmd(
         thrusts_des = thrusts_torque @ params.b_allocation_inv.T
     elif at == ActionType.VELOCITY:
         a_des = params.velocity_pid[0] * (command[:, 1:] - state.vel)
-        f_des = params.mass * (a_des - G_VEC)
+        f_des = params.mass * (a_des - _g_vec(a_des.dtype))
         # auto-yaw toward the velocity direction (`dynamics.py:419-427`)
         vel_h = state.vel[:, :2]
         vel_h_norm = jnp.linalg.norm(vel_h, axis=-1)
@@ -239,7 +243,7 @@ def _thrust_from_cmd(
     elif at == ActionType.POSITION:
         v_des = params.position_pid[2] * (command[:, 1:] - state.pos)
         a_des = params.velocity_pid[2] * (v_des - state.vel)
-        f_des = params.mass * (a_des - G_VEC)
+        f_des = params.mass * (a_des - _g_vec(a_des.dtype))
         yaw_des = command[:, 0]  # direct yaw command (`dynamics.py:461`)
         gross, pose_err, ang_vel_err = _so3_attitude(
             params, state, f_des, yaw_des, params.position_pid[2]
@@ -297,7 +301,7 @@ def _substep(
     thrust_vec = jnp.concatenate(
         [jnp.zeros_like(force_torque[:, :2]), force_torque[:, :1]], axis=-1
     )
-    acc = quat.rotate(state.q, thrust_vec - drag) / params.mass + G_VEC
+    acc = quat.rotate(state.q, thrust_vec - drag) / params.mass + _g_vec(state.pos.dtype)
 
     pos, q, vel, omega, angular_acc = integ.integrate(
         state.pos,
