@@ -487,6 +487,18 @@ class DroneGymEnv:
         key, k_spawn, k_phase = jax.random.split(state.key, 3)
         return self._auto_reset(state._replace(key=key), mask, k_spawn, k_phase)
 
+    def render(self, state: EnvState, traj_history=None, **render_settings):
+        """Global evaluation view (`SceneManager.render`,
+        `SceneManager.py:514-806`): returns an (H, W, 3) uint8 frame, or
+        None for non-visual envs (`droneEnv.py:407-411`)."""
+        if self.scene is None:
+            return None
+        settings = {**self.scene_kwargs.get("render_settings", {}),
+                    **render_settings}
+        from ..render.global_view import render_global
+
+        return render_global(self, state, traj_history=traj_history, **settings)
+
     # -- observation space metadata -------------------------------------------
 
     def obs_space(self) -> Dict[str, Tuple[Tuple[int, ...], Any]]:

@@ -87,6 +87,68 @@ class ImageCNN(nn.Module):
         return act(h)
 
 
+class ResNetBlock(nn.Module):
+    """Basic residual block for the backbone CNN options (the reference maps
+    aliases resnet18/34/… to torchvision backbones, `extractors.py:501-552`;
+    here a compact from-scratch flax ResNet — no pretrained weights in a
+    TPU-native stack, noted as a documented deviation)."""
+
+    channels: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        h = nn.Conv(self.channels, (3, 3), strides=(self.strides, self.strides),
+                    dtype=self.dtype)(x)
+        h = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(h))
+        h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
+        if residual.shape != h.shape:
+            residual = nn.Conv(self.channels, (1, 1),
+                               strides=(self.strides, self.strides),
+                               dtype=self.dtype)(residual)
+        return nn.relu(h + residual)
+
+
+class ResNetCNN(nn.Module):
+    """Small ResNet image extractor (alias targets resnet10/resnet18)."""
+
+    out_features: int = 128
+    stage_sizes: Sequence[int] = (1, 1, 1, 1)
+    width: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if x.ndim == 4 and x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        h = x.astype(self.dtype)
+        h = nn.Conv(self.width, (5, 5), strides=(2, 2), dtype=self.dtype)(h)
+        h = nn.relu(h)
+        for stage, blocks in enumerate(self.stage_sizes):
+            ch = self.width * (2**stage)
+            for b in range(blocks):
+                h = ResNetBlock(ch, strides=2 if b == 0 else 1,
+                                dtype=self.dtype)(h)
+        h = h.mean(axis=(1, 2))  # global average pool
+        return nn.relu(nn.Dense(self.out_features, dtype=self.dtype)(h))
+
+
+class GRUCell(nn.Module):
+    """Recurrent feature wrapper (`extractors.py:452-461` wraps extractor
+    outputs in a GRU); call with (features (N, F), hidden (N, H))."""
+
+    hidden_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, h: Array):
+        new_h, _ = nn.GRUCell(features=self.hidden_dim, dtype=self.dtype)(h, x)
+        return new_h
+
+
 DEFAULT_KEY_EXTRACTORS = {
     # vector keys → identity-ish MLP; image keys → CNN
     "state": {"mlp": [128, 64]},
@@ -123,12 +185,65 @@ class MultiInputExtractor(nn.Module):
             spec = arch.get(key) or DEFAULT_KEY_EXTRACTORS.get(key) or (
                 {"cnn": 128} if x.ndim >= 3 else {"mlp": [64]}
             )
-            if "cnn" in spec:
+            if x.ndim == 5:
+                # 5-D image batches flatten into the batch dim and re-merge
+                # features (`extractors.py:60-66`)
+                b, k = x.shape[:2]
+                x = x.reshape((b * k,) + x.shape[2:])
+                restack = (b, k)
+            else:
+                restack = None
+            if "resnet" in spec:
+                f = ResNetCNN(out_features=spec["resnet"], dtype=self.dtype,
+                              name=f"{key}_extractor")(x)
+            elif "cnn" in spec:
                 f = ImageCNN(out_features=spec["cnn"], activation=self.activation,
                              dtype=self.dtype, name=f"{key}_extractor")(x)
             else:
+                if x.ndim > 2:
+                    x = x.reshape(x.shape[0], -1)
                 f = MLP(spec["mlp"], activation=self.activation,
                         layer_norm=self.layer_norm, dtype=self.dtype,
                         name=f"{key}_extractor")(x)
+            if restack is not None:
+                f = f.reshape(restack[0], -1)
             feats.append(f)
         return jnp.concatenate(feats, axis=-1)
+
+
+# -- named extractor family (`extractors.py:555-799` + alias loader `:854-871`)
+# In the reference these are distinct classes wiring specific obs keys to
+# specific sub-networks; here they are net_arch presets for
+# MultiInputExtractor.
+
+EXTRACTOR_ALIASES: Dict[str, Dict[str, dict]] = {
+    "StateExtractor": {"state": {"mlp": [128, 64]}},
+    "TargetExtractor": {"target": {"mlp": [64]}},
+    "ImageExtractor": {"depth": {"cnn": 128}},
+    "StateTargetExtractor": {
+        "state": {"mlp": [128, 64]}, "target": {"mlp": [64]},
+    },
+    "StateImageExtractor": {
+        "state": {"mlp": [128, 64]}, "depth": {"cnn": 128},
+    },
+    "StateTargetImageExtractor": {
+        "state": {"mlp": [128, 64]}, "target": {"mlp": [64]},
+        "depth": {"cnn": 128},
+    },
+    "SwarmStateTargetImageExtractor": {
+        "state": {"mlp": [128, 64]}, "target": {"mlp": [64]},
+        "depth": {"cnn": 128}, "swarm": {"mlp": [128]},
+    },
+    "StateGateExtractor": {
+        "state": {"mlp": [128, 64]}, "gate": {"mlp": [32]},
+    },
+    "FlexibleExtractor": {},  # per-key defaults
+    "EmptyExtractor": {},
+}
+
+
+def resolve_extractor(name_or_arch) -> Optional[Dict[str, dict]]:
+    """String alias → net_arch preset (`extractors.py:854-871`)."""
+    if isinstance(name_or_arch, str):
+        return EXTRACTOR_ALIASES[name_or_arch]
+    return name_or_arch

@@ -79,11 +79,18 @@ _COLORS = np.asarray(
 )
 
 
-def _room(bmin, bmax) -> Dict[str, Any]:
+def _room(bmin, bmax, open_top: bool = True) -> Dict[str, Any]:
+    """Hollow room. ``open_top`` removes the ceiling from the geometry (like
+    the reference garage stages — enables top-down debug/render views); the
+    flight-volume z-bound is still enforced via the scene bbox
+    (out-of-bounds test), not by a solid ceiling."""
+    bmax_geo = np.asarray(bmax, np.float32).copy()
+    if open_top:
+        bmax_geo[2] += 50.0
     return {
         "type": "room",
         "bounds_min": np.asarray(bmin, np.float32),
-        "bounds_max": np.asarray(bmax, np.float32),
+        "bounds_max": bmax_geo,
         "color": np.asarray([210, 210, 205], np.uint8),
         "semantic": 1,
     }
