@@ -39,7 +39,10 @@ def rollout_fps(env, n_chunks=6, chunk=32, warmup=1):
             key, k = jax.random.split(key)
             a = jax.random.uniform(k, (n, 4), minval=-0.3, maxval=0.3)
             state, out = env.step(state, a)
-            return (state, key), out.reward.sum()
+            # consume every observation so XLA cannot dead-code-eliminate the
+            # renderer (a discarded out.obs would skip the whole render!)
+            obs_sum = sum(jnp.sum(v.astype(jnp.float32)) for v in out.obs.values())
+            return (state, key), out.reward.sum() + obs_sum * 1e-12
 
         (state, key), rs = jax.lax.scan(body, (state, key), None, length=chunk)
         return state, key, rs.sum()

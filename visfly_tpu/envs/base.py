@@ -67,6 +67,7 @@ class EnvState(NamedTuple):
     returns: Array  # (N,) accumulated episode reward
     aux: Any = ()  # env-specific pytree (targets, gate idx…)
     objects: Any = ()  # dynamic-object state (ObjectsState) when enabled
+    latent: Any = ()  # (deter, stoch) world-model latents when enabled
 
 
 class StepOutput(NamedTuple):
@@ -168,6 +169,44 @@ class DroneGymEnv:
         # gymnasium Dict space (`droneGymEnv.py:76-101`).
         self.state_size = 13 if self.dyn_config.is_quat_output else 12
         self.action_size = 4
+
+        # dreamer-style latent hooks (`droneGymEnv.py:277-284`)
+        self.world = None
+        self.deter_dim = self.stoch_dim = 0
+        if latent_dim is not None:
+            self.initialize_latent(latent_dim, latent_dim)
+
+    def initialize_latent(self, deter_dim: int, stoch_dim: int, world=None):
+        """Add deter/stoch latent observations, optionally driven by a world
+        model (`initialize_latent`, `droneGymEnv.py:277-284`)."""
+        self.deter_dim = int(deter_dim)
+        self.stoch_dim = int(stoch_dim)
+        if world is not None:
+            self.world = world
+
+    def _init_latent(self):
+        if not self.deter_dim:
+            return ()
+        n = self.num_agent
+        return (jnp.zeros((n, self.deter_dim), self.dtype),
+                jnp.zeros((n, self.stoch_dim), self.dtype))
+
+    def _update_latent(self, latent, action, obs, key):
+        """Posterior latent step (`update_latent`, `droneGymEnv.py:221-236`);
+        zeros-latent passthrough when no world model is attached."""
+        if not self.deter_dim or latent == ():
+            return latent
+        if self.world is None:
+            return latent
+        deter, stoch = latent
+        stoch, deter = self.world.step(action, stoch, deter, obs, key)
+        return (deter.astype(self.dtype), stoch.astype(self.dtype))
+
+    def _attach_latent_obs(self, obs, latent):
+        if self.deter_dim and latent != ():
+            obs = dict(obs)
+            obs["deter"], obs["stoch"] = latent
+        return obs
 
     # -- hooks for subclasses ------------------------------------------------
 
@@ -350,10 +389,12 @@ class DroneGymEnv:
             aux=aux,
             objects=objects,
         )
-        st = st._replace(aux=self.reset_aux(st, jnp.ones((n,), bool)))
+        st = st._replace(aux=self.reset_aux(st, jnp.ones((n,), bool)),
+                         latent=self._init_latent())
         sensor_obs = self.sensor_observations(st)
         st = self.update_aux_from_sensors(st, sensor_obs)
-        obs = self.get_observation(st, sensor_obs)
+        obs = self._attach_latent_obs(self.get_observation(st, sensor_obs),
+                                      st.latent)
         return st, obs
 
     def step(self, state: EnvState, action: Array, is_test: bool = False
@@ -422,6 +463,16 @@ class DroneGymEnv:
         sensor_obs = self.sensor_observations(st)
         st = self.update_aux_from_sensors(st, sensor_obs)
         obs = self.get_observation(st, sensor_obs)
+        if self.deter_dim:
+            # latents reset to zero for done agents (`_reset_attr`,
+            # `droneGymEnv.py:380-381,406-408`) then posterior-updated
+            latent = st.latent
+            if latent != ():
+                latent = tuple(jnp.where(done[:, None], 0.0, l) for l in latent)
+            key_lat = jax.random.fold_in(key, 23)
+            latent = self._update_latent(latent, action, obs, key_lat)
+            st = st._replace(latent=latent)
+            obs = self._attach_latent_obs(obs, latent)
         if not self.requires_grad:
             obs = jax.lax.stop_gradient(obs)
             reward_out = jax.lax.stop_gradient(reward)
@@ -486,6 +537,22 @@ class DroneGymEnv:
         """Explicit masked reset (reference ``reset_agent_by_id``)."""
         key, k_spawn, k_phase = jax.random.split(state.key, 3)
         return self._auto_reset(state._replace(key=key), mask, k_spawn, k_phase)
+
+    def stack(self, state: EnvState):
+        """Pose snapshot (`droneEnv.py:387-396` stack): returns the (pos,
+        ori, vel, ω) tuple ``recover`` accepts."""
+        d = jax.lax.stop_gradient(state.dyn)
+        return (d.pos, d.q, d.vel, d.omega)
+
+    def recover(self, state: EnvState, snapshot) -> EnvState:
+        """Restore a pose snapshot for all agents (`droneEnv.py:395-396`)."""
+        pos, q, vel, omega = snapshot
+        dyn = dyn_mod.reset(self.dyn_config, self.params, state.dyn,
+                            pos=pos, ori=q, vel=vel, ori_vel=omega)
+        collision, once = self._update_collision(
+            dyn, jnp.zeros((self.num_agent,), bool), state.objects
+        )
+        return state._replace(dyn=dyn, collision=collision, once_collided=once)
 
     def render(self, state: EnvState, traj_history=None, **render_settings):
         """Global evaluation view (`SceneManager.render`,
