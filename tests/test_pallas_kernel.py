@@ -1,0 +1,112 @@
+"""Pallas trace kernel: interpret-mode parity vs the XLA tracer, the
+custom-VJP gradients vs the implicit-function theorem, and the family-split
+packing."""
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from visfly_tpu.scene import make_scene, pack_scenes
+from visfly_tpu.render.pallas_trace import (
+    TILE,
+    pallas_trace,
+    pallas_trace_diff,
+    prepare_kernel_scene,
+    _kernel_scene_sdf,
+)
+from visfly_tpu.render.sphere_trace import trace_grouped
+
+
+@pytest.fixture
+def interpret_pallas():
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        yield
+
+
+@pytest.fixture
+def scene():
+    return pack_scenes([make_scene("garage_simple", seed=1)])
+
+
+def rays(n=TILE, seed=0):
+    key = jax.random.PRNGKey(seed)
+    o = jnp.asarray([1.0, 0.0, 1.5]) + jax.random.uniform(
+        key, (1, n, 3), minval=-1, maxval=1
+    ) * jnp.asarray([0.5, 2.0, 0.7])
+    d = jax.random.normal(key, (1, n, 3))
+    return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_kernel_matches_xla(interpret_pallas, scene):
+    o, d = rays(2 * TILE)
+    kscene = prepare_kernel_scene(scene)
+    t_k, hit_k = pallas_trace(kscene, o, d, n_steps=40)
+    t_x, hit_x = trace_grouped(scene, o, d, n_steps=40,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_x), atol=1e-4)
+    assert (np.asarray(hit_k) == np.asarray(hit_x)).all()
+
+
+def test_kernel_scene_sdf_matches_packed(scene):
+    from visfly_tpu.scene.prim_scene import scene_sdf_grouped
+
+    kscene = prepare_kernel_scene(scene)
+    p = jnp.asarray([[[0.0, 0.0, 2.0], [5.0, 1.0, 1.0], [1.0, -2.0, 3.0]]])
+    np.testing.assert_allclose(
+        np.asarray(_kernel_scene_sdf(kscene, p)),
+        np.asarray(scene_sdf_grouped(scene, p)),
+        atol=1e-5,
+    )
+
+
+def test_custom_vjp_matches_ift(interpret_pallas, scene):
+    """Gradient of depth w.r.t. origin must equal −n/(n·d) at the hit."""
+    kscene = prepare_kernel_scene(scene)
+    o, d = rays(TILE, seed=3)
+    t0 = jnp.zeros((1, TILE))
+
+    def mean_depth(origins):
+        t, _ = pallas_trace_diff(kscene, origins, d, t0, 40, 20.0)
+        return t.mean()
+
+    g = jax.grad(mean_depth)(o)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # finite-difference check along x for a single ray
+    eps = 1e-3
+    o_p = o.at[0, 0, 0].add(eps)
+    o_m = o.at[0, 0, 0].add(-eps)
+    t_p, _ = pallas_trace_diff(kscene, o_p, d, t0, 40, 20.0)
+    t_m, _ = pallas_trace_diff(kscene, o_m, d, t0, 40, 20.0)
+    fd = (t_p[0, 0] - t_m[0, 0]) / (2 * eps)
+    an = g[0, 0, 0] * TILE  # undo the mean
+    np.testing.assert_allclose(float(an), float(fd), atol=0.05)
+
+
+def test_objects_append_as_capsules(interpret_pallas, scene):
+    kscene_plain = prepare_kernel_scene(scene)
+    obj_pos = jnp.asarray([[[2.0, 0.0, 1.5]]])  # (S=1, M=1, 3)
+    obj_radius = jnp.asarray([[0.4]])
+    kscene_obj = prepare_kernel_scene(scene, (obj_pos, obj_radius))
+    assert kscene_obj.capsules.shape[1] == kscene_plain.capsules.shape[1] + 1
+    # a ray toward the object must now hit it
+    o = jnp.asarray([[[0.0, 0.0, 1.5]]] ) * jnp.ones((1, TILE, 1))
+    d = jnp.zeros((1, TILE, 3)).at[:, :, 0].set(1.0)
+    t_with, _ = pallas_trace(kscene_obj, o, d, n_steps=40)
+    t_without, _ = pallas_trace(kscene_plain, o, d, n_steps=40)
+    assert float(t_with[0, 0]) < float(t_without[0, 0])
+    np.testing.assert_allclose(float(t_with[0, 0]), 1.6, atol=0.05)
+
+
+def test_family_split_padding(scene):
+    assert scene.boxes.shape[1] % 4 == 0
+    assert scene.capsules.shape[1] % 4 == 0

@@ -238,7 +238,7 @@ class PPO:
         t0 = time.time()
         for i in range(n_updates):
             if self.scene_freq and i and i % self.scene_freq == 0:
-                self.rotate_scenes(st)
+                st = self.rotate_scenes(st)
             st, m = self.update(st)
             if log_interval and (i % log_interval == 0 or i == n_updates - 1):
                 m = jax.device_get(m)
@@ -252,16 +252,15 @@ class PPO:
                 )
         return st
 
-    def rotate_scenes(self, st: PPOState):
+    def rotate_scenes(self, st: PPOState) -> PPOState:
         """Scene rotation between updates (`PPO.py:102-115`): regenerate the
-        procedural scenes with fresh seeds (host-side; shapes unchanged →
-        no recompilation)."""
+        procedural scenes with fresh seeds and inject the new arrays into the
+        carried env state (scene data is a runtime operand of the compiled
+        update, so shapes unchanged → no recompilation)."""
         if self.env.scene is None:
-            return
-        self.env.scene_kwargs["seed"] = (
-            self.env.scene_kwargs.get("seed", self.env.seed) + self.env.num_scene
-        )
-        self.env._load_scene()
+            return st
+        env_state = self.env.reset_scenes(st.env_state)
+        return st._replace(env_state=env_state)
 
     def predict(self, st: PPOState, obs, deterministic: bool = True) -> Array:
         mean, log_std, _ = self.policy.apply(st.params, obs)

@@ -24,7 +24,7 @@ Semantics replicated 1:1 (parity-tested against the reference to ≤1e-5 over
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,10 @@ class DynState(NamedTuple):
     t: Array  # (N,)
     pre_action: Array  # (K, N, 4) comm-delay FIFO (K may be 0)
     wind: Array  # (N, 3) current wind velocity
+    # per-agent drag coefficients, populated when config.drag_random > 0
+    # (`dynamics.py:244-246,265-267`); empty tuples otherwise
+    linear_drag: Any = ()
+    quad_drag: Any = ()
 
 
 WindFn = Callable[[Array, Array], Array]  # (t (N,), prev (N,3)) -> (N,3)
@@ -77,6 +81,14 @@ def init_state(
         t=jnp.zeros((num,), dtype),
         pre_action=jnp.zeros((config.comm_delay_steps, num, 4), dtype),
         wind=jnp.zeros((num, 3), dtype),
+        linear_drag=(
+            jnp.broadcast_to(params.linear_drag_coeffs, (num, 3)).astype(dtype)
+            if config.drag_random else ()
+        ),
+        quad_drag=(
+            jnp.broadcast_to(params.quad_drag_coeffs, (num, 3)).astype(dtype)
+            if config.drag_random else ()
+        ),
     )
 
 
@@ -133,6 +145,22 @@ def reset(
         new_t = jnp.asarray(t)
 
     zeros3 = jnp.zeros((num, 3), dtype)
+
+    # per-reset drag randomisation (`dynamics.py:244-246,265-267`):
+    # coeff = mean · (clip((U−0.5)·2·drag_random, −0.5, 0.5) + 1)
+    linear_drag, quad_drag = state.linear_drag, state.quad_drag
+    if config.drag_random and not isinstance(linear_drag, tuple):
+        k_drag = jax.random.fold_in(key, 97) if key is not None else None
+        if k_drag is not None:
+            k1, k2 = jax.random.split(k_drag)
+
+            def rand_coeffs(k, mean):
+                u = (jax.random.uniform(k, (num, 3), dtype) - 0.5) * 2 * config.drag_random
+                return mean * (jnp.clip(u, -0.5, 0.5) + 1.0)
+
+            linear_drag = pick(rand_coeffs(k1, params.linear_drag_coeffs), linear_drag)
+            quad_drag = pick(rand_coeffs(k2, params.quad_drag_coeffs), quad_drag)
+
     return DynState(
         pos=pick(new_pos, state.pos),
         q=pick(new_q, state.q),
@@ -145,6 +173,8 @@ def reset(
         t=jnp.where(mask, new_t.astype(dtype), state.t),
         pre_action=jnp.where(mask[None, :, None], 0.0, state.pre_action),
         wind=state.wind,
+        linear_drag=linear_drag,
+        quad_drag=quad_drag,
     )
 
 
@@ -294,10 +324,11 @@ def _substep(
     force_torque = thrusts @ params.b_allocation.T  # (N, 4) [F, τ]
 
     vel_body = quat.inv_rotate(state.q, state.vel)
-    drag = (
-        params.linear_drag_coeffs * vel_body
-        + params.quad_drag_coeffs * vel_body * jnp.abs(vel_body)
-    )
+    ld = (params.linear_drag_coeffs if isinstance(state.linear_drag, tuple)
+          else state.linear_drag)
+    qd = (params.quad_drag_coeffs if isinstance(state.quad_drag, tuple)
+          else state.quad_drag)
+    drag = ld * vel_body + qd * vel_body * jnp.abs(vel_body)
     thrust_vec = jnp.concatenate(
         [jnp.zeros_like(force_torque[:, :2]), force_torque[:, :1]], axis=-1
     )
@@ -399,15 +430,25 @@ def velocity(state: DynState) -> Array:
     return state.vel + state.wind
 
 
+def orientation(state: DynState, config: Optional[DroneConfig] = None) -> Array:
+    """Quaternion (N,4) or euler (N,3) per ``ori_output_type``
+    (`dynamics.py:739-744`)."""
+    if config is not None and not config.is_quat_output:
+        return quat.to_euler(state.q)
+    return state.q
+
+
 def direction(state: DynState) -> Array:
     """Body x-axis in world frame (`dynamics.py:746-748`)."""
     return quat.x_axis(state.q)
 
 
-def get_state(state: DynState) -> Array:
-    """13-dim observable state [pos, quat, vel+wind, ω] (`dynamics.py:778-786`)."""
+def get_state(state: DynState, config: Optional[DroneConfig] = None) -> Array:
+    """Observable state [pos, orientation, vel+wind, ω] — 13-dim with
+    quaternion output, 12-dim with euler (`dynamics.py:778-786`)."""
     return jnp.concatenate(
-        [state.pos, state.q, velocity(state), state.omega], axis=-1
+        [state.pos, orientation(state, config), velocity(state), state.omega],
+        axis=-1,
     )
 
 

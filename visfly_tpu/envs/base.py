@@ -43,6 +43,38 @@ from ..dynamics import dynamics as dyn_mod
 from . import randomization as rnd
 
 
+def _wind_fn_from_strings(settings):
+    """Compile the reference's eval'd wind expressions (`dynamics.py:132-165`)
+    into a jax wind function. Each entry is an expression in (x=t (N,),
+    y=prev wind component (N,)); 6 entries sum two fields. The eval namespace
+    exposes jnp (aliased as th/np for reference-style strings)."""
+    import math
+
+    ns = {"jnp": jnp, "np": jnp, "th": jnp, "math": math,
+          "sin": jnp.sin, "cos": jnp.cos, "exp": jnp.exp, "pi": math.pi,
+          "__builtins__": {}}
+    fns1 = [eval("lambda x,y: " + s, dict(ns)) for s in settings[:3]]
+    fns2 = (
+        [eval("lambda x,y: " + s, dict(ns)) for s in settings[3:6]]
+        if len(settings) == 6 else None
+    )
+
+    def wind_fn(t, prev):
+        def field(fns):
+            comps = [
+                jnp.broadcast_to(jnp.asarray(f(t, prev[:, i]), prev.dtype), t.shape)
+                for i, f in enumerate(fns)
+            ]
+            return jnp.stack(comps, axis=-1)
+
+        w = field(fns1)
+        if fns2 is not None:
+            w = w + field(fns2)
+        return w
+
+    return wind_fn
+
+
 class CollisionInfo(NamedTuple):
     """Per-agent closest-obstacle info (`droneEnv.py:335-371`)."""
 
@@ -68,6 +100,8 @@ class EnvState(NamedTuple):
     aux: Any = ()  # env-specific pytree (targets, gate idx…)
     objects: Any = ()  # dynamic-object state (ObjectsState) when enabled
     latent: Any = ()  # (deter, stoch) world-model latents when enabled
+    scene: Any = ()  # scene arrays as runtime operands — scene rotation
+    # (`reset_env_by_id`/`scene_iter`) swaps assets without recompiling
 
 
 class StepOutput(NamedTuple):
@@ -126,10 +160,16 @@ class DroneGymEnv:
         self.max_sense_radius = 10.0
 
         dynamics_kwargs = dict(dynamics_kwargs or {})
-        self.wind_const = dynamics_kwargs.pop("wind_settings", None)
-        if self.wind_const is not None and not isinstance(self.wind_const[0], (int, float)):
-            raise NotImplementedError("string wind functions: pass wind_fn instead")
+        wind_settings = dynamics_kwargs.pop("wind_settings", None)
         self.wind_fn = dynamics_kwargs.pop("wind_fn", None)
+        self.wind_const = None
+        if wind_settings is not None:
+            if isinstance(wind_settings[0], str):
+                # eval'd string wind functions of (x=t, y=prev component),
+                # 3 or 6 entries (`dynamics.py:132-165`)
+                self.wind_fn = _wind_fn_from_strings(wind_settings)
+            else:
+                self.wind_const = wind_settings
         dynamics_kwargs.pop("seed", None)
         dynamics_kwargs.pop("device", None)
         self.dyn_config = DroneConfig(**dynamics_kwargs)
@@ -240,6 +280,22 @@ class DroneGymEnv:
         self.scene = load_scenes_for_env(self)
         self.bbox = self.scene.bbox
 
+    def reset_scenes(self, state: Optional[EnvState] = None):
+        """Swap scene assets (reference ``reset_env_by_id`` scene rotation /
+        ``scene_iter``): reload from the dataset or regenerate procedurally
+        with fresh seeds; shapes are unchanged so compiled programs stay
+        valid. Returns the env-state with all agents respawned when given."""
+        if self.scene is None:
+            return state
+        self.scene_kwargs["seed"] = (
+            self.scene_kwargs.get("seed", self.seed) + self.num_scene
+        )
+        self._load_scene()
+        if state is not None:
+            state = state._replace(scene=self.scene)  # inject the new assets
+            return self.reset_agents(state, jnp.ones((self.num_agent,), bool))
+        return state
+
     def sensor_observations(self, state: EnvState) -> Dict[str, Array]:
         """Render per-agent sensors (depth/color/semantic) on-device."""
         if not self.visual or not self.sensor_kwargs:
@@ -263,9 +319,9 @@ class DroneGymEnv:
                 jnp.asarray(kw.get("std", 0.0), self.dtype))
 
     def state_obs(self, state: EnvState) -> Array:
-        """13-dim IMU state with optional noise, quaternion re-normalised
-        (`droneEnv.py:114-125`)."""
-        s = dyn_mod.get_state(state.dyn)
+        """IMU state with optional noise, quaternion re-normalised
+        (`droneEnv.py:114-125`); 12-dim when ori_output_type='euler'."""
+        s = dyn_mod.get_state(state.dyn, self.dyn_config)
         if self._imu_noise is not None:
             kind, a, b = self._imu_noise
             key = jax.random.fold_in(state.key, 7)
@@ -311,8 +367,19 @@ class DroneGymEnv:
             )
         return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
 
-    def _update_collision(self, dyn: DynState, once: Array, objects: Any = ()
-                          ) -> Tuple[CollisionInfo, Array]:
+    def _scene_of(self, state: Optional[EnvState]) -> Any:
+        """The scene pytree in effect: the one carried in the state (swap-able
+        at runtime) falling back to the env's construction-time scene.
+
+        NOTE: the empty marker is the plain tuple (); scene pytrees are
+        NamedTuple subclasses — test by type, not equality (``!= ()`` would
+        recurse into traced arrays under jit)."""
+        if state is not None and type(state.scene) is not tuple:
+            return state.scene
+        return self.scene
+
+    def _update_collision(self, dyn: DynState, once: Array, objects: Any = (),
+                          scene: Any = None) -> Tuple[CollisionInfo, Array]:
         """Closest-point & bounds queries (`droneEnv.py:335-371`).
 
         Visual envs query the scene SDF; non-visual envs use the analytic
@@ -321,10 +388,11 @@ class DroneGymEnv:
         dynamic-KD-tree path, `SceneManager.py:399,888`).
         """
         pos = jax.lax.stop_gradient(dyn.pos)
-        if self.scene is not None:
+        scene = self.scene if scene is None else scene
+        if scene is not None and type(scene) is not tuple:
             from ..scene import closest_point_query
 
-            point, dis, out = closest_point_query(self.scene, self._scene_ids(), pos)
+            point, dis, out = closest_point_query(scene, self._scene_ids(), pos)
             vector = point - pos
         else:
             lo, hi = self.bbox[0], self.bbox[1]
@@ -375,7 +443,9 @@ class DroneGymEnv:
             from ..scene.objects import init_objects_state
 
             objects = init_objects_state(self.objects, self.num_scene)
-        collision, once = self._update_collision(dyn, falses, objects)
+        scene_state = self.scene if self.scene is not None else ()
+        collision, once = self._update_collision(dyn, falses, objects,
+                                                 scene=self.scene)
         st = EnvState(
             dyn=dyn,
             key=key,
@@ -388,6 +458,7 @@ class DroneGymEnv:
             returns=jnp.zeros((n,), self.dtype),
             aux=aux,
             objects=objects,
+            scene=scene_state,
         )
         st = st._replace(aux=self.reset_aux(st, jnp.ones((n,), bool)),
                          latent=self._init_latent())
@@ -414,7 +485,8 @@ class DroneGymEnv:
             from ..scene.objects import step_objects
 
             objects = step_objects(self.objects, objects, self.dyn_config.ctrl_dt)
-        collision, once = self._update_collision(dyn, state.once_collided, objects)
+        collision, once = self._update_collision(dyn, state.once_collided,
+                                                 objects, self._scene_of(state))
         step_count = state.step_count + 1
 
         st = state._replace(dyn=dyn, key=key, step_count=step_count,
@@ -518,7 +590,7 @@ class DroneGymEnv:
         # NOT done here — the reference keeps the graph until env.detach();
         # BPTT-style algorithms call stop_gradient between updates instead.
         collision, once = self._update_collision(dyn, st.once_collided & ~done,
-                                                 st.objects)
+                                                 st.objects, self._scene_of(st))
         # aux reset sees the POST-respawn dynamics (e.g. racing gate choice
         # depends on the new spawn position, `RacingEnv.py:172-185`)
         aux = self.reset_aux(st._replace(dyn=dyn), done)
@@ -538,6 +610,41 @@ class DroneGymEnv:
         key, k_spawn, k_phase = jax.random.split(state.key, 3)
         return self._auto_reset(state._replace(key=key), mask, k_spawn, k_phase)
 
+    def reset_agents_from_state(self, state: EnvState, mask: Array,
+                                full_state: Array,
+                                pos_reset_by_state: bool = True) -> EnvState:
+        """Masked reset from stored 22-dim full dynamics states — the
+        reset-from-replay-buffer flow (`droneGymEnv.py:339-349`,
+        `droneEnv.py:260-288`). With ``pos_reset_by_state=False`` positions
+        are resampled from the randomizer while velocity/orientation/motor
+        state come from ``full_state`` (`droneEnv.py:277-278`)."""
+        fs = jax.lax.stop_gradient(jnp.asarray(full_state))
+        pos = fs[:, 0:3]
+        if not pos_reset_by_state:
+            key, k_spawn = jax.random.split(state.key)
+            state = state._replace(key=key)
+            pos, _, _, _ = self._spawn(k_spawn, state.aux)
+            pos = jax.lax.stop_gradient(pos)
+        dyn = dyn_mod.reset(
+            self.dyn_config, self.params, state.dyn, mask=mask,
+            pos=pos, ori=fs[:, 3:7], vel=fs[:, 7:10], ori_vel=fs[:, 10:13],
+            motor_omega=fs[:, 13:17], thrusts=fs[:, 17:21], t=fs[:, 21],
+        )
+        collision, once = self._update_collision(
+            dyn, state.once_collided & ~mask, state.objects, self._scene_of(state)
+        )
+        aux = self.reset_aux(state._replace(dyn=dyn), mask)
+        zeros = jnp.zeros((self.num_agent,), self.dtype)
+        return state._replace(
+            dyn=dyn,
+            step_count=jnp.where(mask, 0, state.step_count),
+            episode_done=jnp.where(mask, False, state.episode_done),
+            returns=jnp.where(mask, zeros, state.returns),
+            collision=collision,
+            once_collided=once,
+            aux=aux,
+        )
+
     def stack(self, state: EnvState):
         """Pose snapshot (`droneEnv.py:387-396` stack): returns the (pos,
         ori, vel, ω) tuple ``recover`` accepts."""
@@ -550,7 +657,8 @@ class DroneGymEnv:
         dyn = dyn_mod.reset(self.dyn_config, self.params, state.dyn,
                             pos=pos, ori=q, vel=vel, ori_vel=omega)
         collision, once = self._update_collision(
-            dyn, jnp.zeros((self.num_agent,), bool), state.objects
+            dyn, jnp.zeros((self.num_agent,), bool), state.objects,
+            self._scene_of(state)
         )
         return state._replace(dyn=dyn, collision=collision, once_collided=once)
 

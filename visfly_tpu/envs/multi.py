@@ -44,9 +44,9 @@ class MultiDroneGymEnv(DroneGymEnv):
         any_d = self._per_scene(done).any(axis=1, keepdims=True)
         return jnp.broadcast_to(any_d, (self.num_scene, self.num_agent_per_scene)).reshape(-1)
 
-    def _update_collision(self, dyn: DynState, once: Array, objects=()
-                          ) -> Tuple[CollisionInfo, Array]:
-        info, once = super()._update_collision(dyn, once, objects)
+    def _update_collision(self, dyn: DynState, once: Array, objects=(),
+                          scene=None) -> Tuple[CollisionInfo, Array]:
+        info, once = super()._update_collision(dyn, once, objects, scene)
         # nearest other drone in the same scene (`SceneManager.py:447-461`)
         import jax
 

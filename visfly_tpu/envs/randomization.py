@@ -175,6 +175,38 @@ def sample(
     return pos, q, vel, omega
 
 
+def meshgrid_sample(
+    spec: RandomizerSpec,
+    key: Array,
+    n: int,
+    index: int = 0,
+    xyz_num=(1, 1, 1),
+    xyz_half=(0.0, 2.0, 0.0),
+) -> Tuple[Array, Array, Array, Array]:
+    """Deterministic evaluation spawns (the reference ``test=True`` meshgrid
+    mode, `randomization.py:139-161`): positions cycle through a linspace
+    meshgrid over the spawn box, with a small uniform jitter of
+    ``xyz_half``."""
+    import numpy as np
+
+    axes = [np.linspace(-1.0, 1.0, k) if k > 1 else np.zeros(1) for k in xyz_num]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    base = jnp.asarray(
+        np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1), jnp.float32
+    )
+    rows = base[(index + jnp.arange(n)) % base.shape[0]]
+    jitter = (2.0 * jax.random.uniform(key, (n, 3)) - 1.0) * jnp.asarray(
+        xyz_half, jnp.float32
+    )
+    pos = rows * spec.pos_half + spec.pos_mean + jitter
+    k2, k3, k4 = jax.random.split(jax.random.fold_in(key, 1), 3)
+    euler = _u(k2, n, spec.ori_mean, spec.ori_half)
+    vel = _u(k3, n, spec.vel_mean, spec.vel_half)
+    omega = _u(k4, n, spec.omega_mean, spec.omega_half)
+    q = quat.from_euler(euler[:, 0], euler[:, 1], euler[:, 2], order="zyx")
+    return pos, q, vel, omega
+
+
 def safe_sample(
     spec: RandomizerSpec,
     key: Array,

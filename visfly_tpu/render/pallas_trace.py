@@ -1,0 +1,286 @@
+"""Pallas TPU kernel for the sphere-trace march — the framework's hottest op.
+
+The XLA lowering of the trace loop reaches ~5% of VPU peak (measured):
+every march step materialises (R, K) distance intermediates through HBM.
+This kernel fuses the WHOLE march per ray tile: primitive parameters sit in
+SMEM (scalar broadcasts), a (8·ROWS, 128) ray tile lives in VMEM/registers
+for all ``n_steps`` iterations, and the unrolled per-primitive math is pure
+VPU FMA chains. Nothing touches HBM between the initial load and the final
+(t, hit) store.
+
+Host-side preparation (``prepare_kernel_scene``) splits each scene's packed
+primitives by family — rounded boxes vs capsules — so the kernel's K-loops
+are static (no per-primitive branching), and dynamic objects append as
+degenerate capsules (a == b) per call.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.prim_scene import PrimitiveScene
+
+LANES = 128
+ROWS = 8  # f32 sublane tile
+TILE = ROWS * LANES  # rays per kernel instance: 1024
+BIG = 1e9
+
+
+class KernelScene(NamedTuple):
+    """Family-split scene parameters for the kernel. Boxes: (S, KB, 12) rows
+    [cx cy cz hx hy hz r cos sin sign active _]; capsules: (S, KC, 8) rows
+    [ax ay az bx by bz r active]. (The hit epsilon is NOT part of this
+    pytree — as a leaf it would be traced through custom_vjp and the kernel
+    cannot capture traced scalars; pass it as the ``eps`` kwarg.)"""
+
+    boxes: Array
+    capsules: Array
+
+
+def prepare_kernel_scene(scene: PrimitiveScene,
+                         objects=None) -> KernelScene:
+    """Kernel view of a packed scene (family split precomputed by
+    ``pack_scenes``). Dynamic objects append as degenerate capsules
+    (a == b == position) — runtime operands, no re-baking."""
+    if type(scene.boxes) is tuple:  # legacy scene without split views
+        from ..scene.prim_scene import _family_split
+
+        boxes, capsules = _family_split(np.asarray(scene.params))
+        boxes, capsules = jnp.asarray(boxes), jnp.asarray(capsules)
+    else:
+        boxes, capsules = scene.boxes, scene.capsules
+    if objects is not None:
+        obj_pos, obj_radius = objects  # (S, M, 3), (S, M)
+        m = obj_pos.shape[1]
+        obj_caps = jnp.concatenate(
+            [
+                obj_pos, obj_pos,
+                obj_radius[..., None],
+                jnp.ones((obj_pos.shape[0], m, 1), obj_pos.dtype),
+            ],
+            axis=-1,
+        )
+        capsules = jnp.concatenate([capsules, obj_caps], axis=1)
+    return KernelScene(boxes, capsules)
+
+
+def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
+                  *, kb: int, kc: int, n_steps: int, max_depth: float,
+                  eps: float):
+    """One ray tile: o_ref/d_ref blocks are (1, 1, 3, ROWS, LANES); params in
+    SMEM blocks (1, K, cols)."""
+    ox, oy, oz = o_ref[0, 0, 0], o_ref[0, 0, 1], o_ref[0, 0, 2]
+    dx, dy, dz = d_ref[0, 0, 0], d_ref[0, 0, 1], d_ref[0, 0, 2]
+
+    def sdf(px, py, pz):
+        dist = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        for k in range(kb):
+            cx, cy, cz = box_ref[0, k, 0], box_ref[0, k, 1], box_ref[0, k, 2]
+            hx, hy, hz = box_ref[0, k, 3], box_ref[0, k, 4], box_ref[0, k, 5]
+            rad = box_ref[0, k, 6]
+            cyaw, syaw = box_ref[0, k, 7], box_ref[0, k, 8]
+            sign = box_ref[0, k, 9]
+            active = box_ref[0, k, 11]  # col 10 is the family flag
+            rx = px - cx
+            ry = py - cy
+            x = cyaw * rx + syaw * ry
+            y = -syaw * rx + cyaw * ry
+            z = pz - cz
+            qx = jnp.abs(x) - hx
+            qy = jnp.abs(y) - hy
+            qz = jnp.abs(z) - hz
+            ox_ = jnp.maximum(qx, 0.0)
+            oy_ = jnp.maximum(qy, 0.0)
+            oz_ = jnp.maximum(qz, 0.0)
+            outside = jnp.sqrt(ox_ * ox_ + oy_ * oy_ + oz_ * oz_ + 1e-12)
+            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+            dk = (outside + inside - rad) * sign
+            dk = jnp.where(active > 0.5, dk, BIG)
+            dist = jnp.minimum(dist, dk)
+        for k in range(kc):
+            ax, ay, az = cap_ref[0, k, 0], cap_ref[0, k, 1], cap_ref[0, k, 2]
+            bx, by, bz = cap_ref[0, k, 3], cap_ref[0, k, 4], cap_ref[0, k, 5]
+            rad = cap_ref[0, k, 6]
+            active = cap_ref[0, k, 7]
+            bax = bx - ax
+            bay = by - ay
+            baz = bz - az
+            inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
+            pax = px - ax
+            pay = py - ay
+            paz = pz - az
+            h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
+            ex = pax - bax * h
+            ey = pay - bay * h
+            ez = paz - baz * h
+            dk = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12) - rad
+            dk = jnp.where(active > 0.5, dk, BIG)
+            dist = jnp.minimum(dist, dk)
+        return dist
+
+    def body(_, carry):
+        t, done = carry
+        d = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
+        # done carried as a f32 mask — Mosaic's scf.for lowering rejects
+        # vector<i1> loop carries
+        done = jnp.maximum(
+            done,
+            jnp.maximum(
+                (d < eps).astype(jnp.float32), (t >= max_depth).astype(jnp.float32)
+            ),
+        )
+        t = t + d * (1.0 - done)
+        return t, done
+
+    t0 = t0_ref[0, 0]
+    done0 = jnp.zeros((ROWS, LANES), jnp.float32)
+    t, _done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+    # full-precision refinement + lower-bound reporting (matches the XLA path)
+    t = jnp.clip(t + sdf(ox + dx * t, oy + dy * t, oz + dz * t), 0.0, max_depth)
+    t_ref[0, 0] = t
+    hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
+
+
+def pallas_trace(
+    kscene: KernelScene,
+    origins: Array,  # (S, R, 3) rays grouped per scene, R multiple of TILE
+    dirs: Array,  # (S, R, 3)
+    t_init: Optional[Array] = None,  # (S, R)
+    n_steps: int = 40,
+    max_depth: float = 20.0,
+    eps: float = 0.01,
+) -> Tuple[Array, Array]:
+    """Returns (t (S, R), hit (S, R))."""
+    S, R, _ = origins.shape
+    if R % TILE:
+        raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
+    tiles = R // TILE
+    kb = kscene.boxes.shape[1]
+    kc = kscene.capsules.shape[1]
+
+    # (S, R, 3) → (S, tiles, 3, ROWS, LANES) component-major tiles
+    def to_tiles(x):
+        return (
+            x.reshape(S, tiles, ROWS, LANES, 3)
+            .transpose(0, 1, 4, 2, 3)
+        )
+
+    o_t = to_tiles(origins)
+    d_t = to_tiles(dirs)
+    t0 = (
+        jnp.zeros((S, tiles, ROWS, LANES), origins.dtype)
+        if t_init is None
+        else t_init.reshape(S, tiles, ROWS, LANES)
+    )
+
+    kernel = functools.partial(
+        _trace_kernel, kb=kb, kc=kc, n_steps=n_steps,
+        max_depth=max_depth, eps=eps,
+    )
+    grid = (S, tiles)
+    out_shape = [
+        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
+    ]
+    t, hit = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, kb, 12), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, kc, 8), lambda s, i: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3, ROWS, LANES), lambda s, i: (s, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, ROWS, LANES), lambda s, i: (s, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+    )(kscene.boxes, kscene.capsules, o_t, d_t, t0)
+
+    return (
+        t.reshape(S, R),
+        hit.reshape(S, R) > 0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
+#
+# Sphere tracing defines t*(o, d) implicitly by sdf(o + t·d) = 0. The
+# implicit function theorem gives exact gradients from one normal evaluation:
+#     ∂t/∂o = −n / (n·d),       ∂t/∂d = −t·n / (n·d)
+# so the Pallas forward pass needs no differentiable trace — the backward
+# pass is a single XLA SDF-gradient query at the hit points. This is both
+# faster AND better-conditioned than differentiating through 40 march steps.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pallas_trace_diff(kscene, origins, dirs, t_init, n_steps=40,
+                      max_depth=20.0):
+    t, hit = pallas_trace(kscene, origins, dirs, t_init, n_steps, max_depth)
+    return t, hit
+
+
+def _ptd_fwd(kscene, origins, dirs, t_init, n_steps, max_depth):
+    t, hit = pallas_trace(kscene, origins, dirs, t_init, n_steps, max_depth)
+    return (t, hit), (kscene, origins, dirs, t, hit)
+
+
+def _kernel_scene_sdf(kscene: KernelScene, p: Array) -> Array:
+    """XLA evaluation of the kernel's (boxes ∪ capsules) SDF for the
+    backward-pass normal query. p: (S, R, 3) → (S, R)."""
+    from ..scene.prim_scene import prim_sdf
+
+    def per_scene(boxes, caps, pts):
+        # boxes rows are already packed-primitive rows (12 cols)
+        d = prim_sdf(boxes, pts)
+        a = caps[:, 0:3]
+        b = caps[:, 3:6]
+        r = caps[:, 6]
+        active = caps[:, 7]
+        pa = pts[:, None, :] - a[None]
+        ba = (b - a)[None]
+        denom = jnp.sum(ba * ba, -1) + 1e-9
+        h = jnp.clip(jnp.sum(pa * ba, -1) / denom, 0.0, 1.0)
+        diff = pa - ba * h[..., None]
+        dc = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-12) - r[None]
+        dc = jnp.where(active[None] > 0.5, dc, BIG)
+        return jnp.minimum(d, jnp.min(dc, axis=-1))
+
+    return jax.vmap(per_scene)(kscene.boxes, kscene.capsules, p)
+
+
+def _ptd_bwd(n_steps, max_depth, residuals, cotangents):
+    kscene, origins, dirs, t, hit = residuals
+    g_t, _g_hit = cotangents
+    p_hit = origins + dirs * t[..., None]
+    n = jax.grad(lambda q: jnp.sum(_kernel_scene_sdf(kscene, q)))(p_hit)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    denom = jnp.sum(n * dirs, axis=-1)
+    # only hits carry gradient; guard near-grazing denominators
+    scale = jnp.where(hit & (jnp.abs(denom) > 1e-3), 1.0 / denom, 0.0)
+    common = (g_t * scale)[..., None] * n
+    d_origins = -common
+    d_dirs = -common * t[..., None]
+    d_kscene = jax.tree_util.tree_map(jnp.zeros_like, kscene)
+    return d_kscene, d_origins, d_dirs, jnp.zeros_like(t)
+
+
+pallas_trace_diff.defvjp(_ptd_fwd, _ptd_bwd)

@@ -35,9 +35,44 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from typing import Any
+
 from .scene import SceneSpec
 
 BIG = 1e9
+
+
+def _family_split(params: np.ndarray) -> tuple:
+    """Split packed (S, K, 12) rows into box/capsule arrays for the kernel,
+    padding counts up to multiples of 4 (shape-stable across rotations)."""
+    S = params.shape[0]
+    boxes_per, caps_per = [], []
+    for s in range(S):
+        rows = params[s]
+        active = rows[:, 11] > 0.5
+        fam = rows[:, 10]
+        boxes_per.append(rows[active & (fam < 0.5)])
+        caps = rows[active & (fam >= 0.5)]
+        caps_per.append(
+            np.concatenate(
+                [caps[:, 0:6], caps[:, 6:7], np.ones((len(caps), 1), np.float32)],
+                axis=1,
+            )
+        )
+
+    def pad4(n):
+        return max(4, -(-n // 4) * 4)
+
+    kb = pad4(max(len(b) for b in boxes_per))
+    kc = pad4(max(len(c) for c in caps_per))
+    boxes = np.zeros((S, kb, 12), np.float32)
+    capsules = np.zeros((S, kc, 8), np.float32)
+    for s in range(S):
+        if len(boxes_per[s]):
+            boxes[s, : len(boxes_per[s])] = boxes_per[s]
+        if len(caps_per[s]):
+            capsules[s, : len(caps_per[s])] = caps_per[s]
+    return boxes, capsules
 
 
 class PrimitiveScene(NamedTuple):
@@ -46,6 +81,11 @@ class PrimitiveScene(NamedTuple):
     semantic: Array  # (S, K) int32
     bbox: Array  # (2, 3)
     eps: Array  # () nominal surface epsilon
+    # family-split views for the Pallas trace kernel (padded to ×4 buckets so
+    # scene rotation rarely changes shapes): boxes (S, KB, 12), capsules
+    # (S, KC, 8) rows [ax ay az bx by bz r active]
+    boxes: Any = ()
+    capsules: Any = ()
 
     @property
     def num_scene(self) -> int:
@@ -147,12 +187,15 @@ def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01) -> PrimitiveScene
 
     lo = np.min([s.bounds_min for s in specs], axis=0)
     hi = np.max([s.bounds_max for s in specs], axis=0)
+    boxes, capsules = _family_split(params)
     return PrimitiveScene(
         params=jnp.asarray(params),
         colors=jnp.asarray(colors),
         semantic=jnp.asarray(sems),
         bbox=jnp.asarray(np.stack([lo, hi]), jnp.float32),
         eps=jnp.asarray(eps, jnp.float32),
+        boxes=jnp.asarray(boxes),
+        capsules=jnp.asarray(capsules),
     )
 
 

@@ -359,6 +359,67 @@ def bake_scenes(
     )
 
 
+def save_scene_spec(spec: SceneSpec, path: str) -> None:
+    """Serialise a SceneSpec to JSON — counterpart of the reference
+    ``SceneGenerator`` writing ``*.scene_instance.json`` datasets
+    (`datasets.py:90-167`)."""
+    import json
+    import os
+
+    def enc(v):
+        return v.tolist() if isinstance(v, np.ndarray) else v
+
+    data = {
+        "name": spec.name,
+        "bounds_min": spec.bounds_min.tolist(),
+        "bounds_max": spec.bounds_max.tolist(),
+        "primitives": [{k: enc(v) for k, v in p.items()} for p in spec.primitives],
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def load_scene_spec(path: str) -> SceneSpec:
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    prims = []
+    for p in data["primitives"]:
+        prims.append(
+            {
+                k: (np.asarray(v, np.float32) if isinstance(v, list) else v)
+                for k, v in p.items()
+            }
+        )
+        if "color" in prims[-1]:
+            prims[-1]["color"] = prims[-1]["color"].astype(np.uint8)
+        if "semantic" in prims[-1]:
+            prims[-1]["semantic"] = int(prims[-1]["semantic"])
+    return SceneSpec(
+        bounds_min=np.asarray(data["bounds_min"], np.float32),
+        bounds_max=np.asarray(data["bounds_max"], np.float32),
+        primitives=prims,
+        name=data.get("name", "scene"),
+    )
+
+
+def generate_scene_dataset(out_dir: str, preset: str, count: int,
+                           seed: int = 42, **kwargs) -> List[str]:
+    """Write ``count`` procedurally generated scene JSONs — the dataset-
+    generation workflow of the reference ``SceneGenerator``."""
+    import os
+
+    paths = []
+    for i in range(count):
+        spec = make_scene(preset, seed=seed + i, **kwargs)
+        p = os.path.join(out_dir, f"{preset}_{i:04d}.scene_instance.json")
+        save_scene_spec(spec, p)
+        paths.append(p)
+    return paths
+
+
 def load_scenes_for_env(env):
     """Build the device scene from an env's scene_kwargs (reference
     ``SceneManager.load_scenes``, `SceneManager.py:826-891`).
@@ -366,14 +427,29 @@ def load_scenes_for_env(env):
     Default backend is the gather-free packed-primitive scene
     (`prim_scene.py`); pass ``scene_kwargs={"backend": "grid"}`` for the
     dense-grid (mesh) backend."""
+    import os
+
     kw = dict(env.scene_kwargs)
     path = kw.get("path", "box15_wall_empty")
-    preset = resolve_scene_path(path)
     seed = kw.get("seed", env.seed)
-    specs = [
-        make_scene(preset, seed=seed + i, **kw.get("scene_gen_kwargs", {}))
-        for i in range(env.num_scene)
-    ]
+
+    # dataset directory of scene JSONs → round-robin loader (the reference's
+    # SimpleDataLoader scene iteration, `SceneManager.py:826-891`)
+    if os.path.isdir(path):
+        from ..utils.dataloader import ChildrenPathDataset, SimpleDataLoader
+
+        if getattr(env, "_scene_loader", None) is None:
+            env._scene_loader = SimpleDataLoader(
+                ChildrenPathDataset(path, seed=seed), seed=seed
+            )
+        files = env._scene_loader.next(env.num_scene)
+        specs = [load_scene_spec(f) for f in files]
+    else:
+        preset = resolve_scene_path(path)
+        specs = [
+            make_scene(preset, seed=seed + i, **kw.get("scene_gen_kwargs", {}))
+            for i in range(env.num_scene)
+        ]
     if kw.get("backend", "primitive") == "grid":
         return bake_scenes(
             specs,
