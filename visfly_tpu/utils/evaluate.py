@@ -26,13 +26,17 @@ class TestBase:
         self.name = name
         os.makedirs(save_path, exist_ok=True)
 
-    def rollout(self, state, max_steps: int = 1024, key=None):
+    def rollout(self, state, max_steps: int = 1024, key=None,
+                render_every: int = 0, render_kwargs: Optional[dict] = None):
         """Step the deterministic policy until every agent is done
-        (`evaluate.py:55-151`). Returns a record dict of stacked arrays."""
+        (`evaluate.py:55-151`). Returns a record dict of stacked arrays.
+        ``render_every > 0`` captures global debug-view frames
+        (`SceneManager.render`) every k steps."""
         env = self.env
         key = jax.random.PRNGKey(0) if key is None else key
         env_state, obs = env.reset(key)
         step = jax.jit(lambda s, a: env.step(s, a, is_test=True))
+        global_frames: List[np.ndarray] = []
 
         record: Dict[str, List] = {
             "position": [], "velocity": [], "reward": [], "done": [],
@@ -64,6 +68,12 @@ class TestBase:
             for k, v in obs.items():
                 if np.asarray(v).ndim >= 3:  # image sensors
                     sensor_frames.setdefault(k, []).append(np.asarray(v))
+            if render_every and i % render_every == 0 and env.scene is not None:
+                traj = np.stack(record["position"])
+                frame = env.render(env_state, traj_history=traj,
+                                   trajectory=True, **(render_kwargs or {}))
+                if frame is not None:
+                    global_frames.append(frame)
 
             all_done |= done_now
             if all_done.all():
@@ -78,6 +88,8 @@ class TestBase:
             "mean_length": float(lengths.mean()),
         }
         arrays = {k: np.stack(v) for k, v in record.items()}
+        if global_frames:
+            sensor_frames["global"] = [f[None] for f in global_frames]
         return arrays, sensor_frames, stats
 
     def draw(self, arrays: Dict[str, np.ndarray]):
@@ -115,9 +127,11 @@ class TestBase:
         paths = []
         for name, frames in sensor_frames.items():
             frames = np.stack(frames) if isinstance(frames, list) else frames
-            # (T, N, C, H, W) → first agent, HWC uint8
+            # (T, N, C, H, W) sensors → first agent; (T, 1, H, W, 3) globals
             f0 = frames[:, 0]
-            if f0.shape[1] == 1:  # depth/semantic
+            if f0.ndim == 4 and f0.shape[-1] == 3:  # global view, already HWC
+                imgs = f0.astype(np.uint8)
+            elif f0.shape[1] == 1:  # depth/semantic (T, 1, H, W)
                 imgs = np.stack([depth2rgb(f[0]) for f in f0])
             else:
                 imgs = np.transpose(f0, (0, 2, 3, 1)).astype(np.uint8)
