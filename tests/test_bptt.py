@@ -61,3 +61,24 @@ def test_predict_deterministic():
     a2 = tr.predict(st, obs)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert np.abs(np.asarray(a1)).max() <= 1.0
+
+
+def test_recurrent_bptt_learns():
+    from visfly_tpu.envs import HoverEnv
+    env = HoverEnv(
+        num_agent_per_scene=32, visual=False, requires_grad=True,
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03}, max_episode_steps=64,
+    )
+    tr = BPTT(env, horizon=16, learning_rate=1e-3,
+              policy_kwargs={"recurrent": True, "hidden_dim": 64,
+                             "latent_dim": (64,)})
+    st = tr.init(jax.random.PRNGKey(0))
+    assert st.hidden.shape == (32, 64)
+    rewards = []
+    for _ in range(30):
+        st, m = tr.update(st)
+        rewards.append(float(m["reward_mean"]))
+    assert np.isfinite(rewards).all()
+    assert np.mean(rewards[-5:]) > np.mean(rewards[:5])
+    # hidden state evolves (GRU is in the loop)
+    assert float(jnp.abs(st.hidden).max()) > 0

@@ -30,7 +30,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
-from ..policies.networks import Actor
+from ..policies.networks import Actor, RecurrentActor
 
 
 class BPTTState(NamedTuple):
@@ -40,6 +40,7 @@ class BPTTState(NamedTuple):
     obs: Dict[str, Array]
     key: Array
     global_step: Array  # () int32
+    hidden: Any = ()  # GRU hidden state when recurrent
 
 
 class BPTT:
@@ -71,13 +72,23 @@ class BPTT:
 
         pk = dict(policy_kwargs or {})
         pk.setdefault("net_arch", None)
-        self.actor = Actor(
-            action_dim=env.action_size,
-            net_arch=pk.get("net_arch"),
-            latent_dim=tuple(pk.get("latent_dim", (256, 256))),
-            activation=pk.get("activation", "relu"),
-            layer_norm=pk.get("layer_norm", False),
-        )
+        self.recurrent = bool(pk.get("recurrent", False))
+        if self.recurrent:
+            self.actor = RecurrentActor(
+                action_dim=env.action_size,
+                hidden_dim=pk.get("hidden_dim", 128),
+                net_arch=pk.get("net_arch"),
+                latent_dim=tuple(pk.get("latent_dim", (128,))),
+                activation=pk.get("activation", "relu"),
+            )
+        else:
+            self.actor = Actor(
+                action_dim=env.action_size,
+                net_arch=pk.get("net_arch"),
+                latent_dim=tuple(pk.get("latent_dim", (256, 256))),
+                activation=pk.get("activation", "relu"),
+                layer_norm=pk.get("layer_norm", False),
+            )
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
             optax.adam(learning_rate),
@@ -90,7 +101,12 @@ class BPTT:
         key = jax.random.PRNGKey(self.seed) if key is None else key
         k_env, k_actor, k_run = jax.random.split(key, 3)
         env_state, obs = self.env.reset(k_env)
-        params = self.actor.init(k_actor, obs, k_run)
+        if self.recurrent:
+            hidden = self.actor.initial_hidden(self.env.num_envs)
+            params = self.actor.init(k_actor, obs, hidden, k_run)
+        else:
+            hidden = ()
+            params = self.actor.init(k_actor, obs, k_run)
         return BPTTState(
             params=params,
             opt_state=self.tx.init(params),
@@ -98,40 +114,48 @@ class BPTT:
             obs=obs,
             key=k_run,
             global_step=jnp.asarray(0, jnp.int32),
+            hidden=hidden,
         )
 
     # -- one fully-jitted update ----------------------------------------------
 
-    def _rollout_loss(self, params, env_state, obs, key):
+    def _rollout_loss(self, params, env_state, obs, key, hidden):
         env = self.env
         n = env.num_envs
 
         def body(carry, _):
-            env_state, obs, discount, key, loss = carry
+            env_state, obs, discount, key, loss, hidden = carry
             key, k_act = jax.random.split(key)
-            action, _logp = self.actor.apply(params, obs, k_act)
+            if self.recurrent:
+                action, _logp, hidden = self.actor.apply(params, obs, hidden, k_act)
+            else:
+                action, _logp = self.actor.apply(params, obs, k_act)
             action = jnp.clip(action, -1.0, 1.0)
             env_state, out = env.step(env_state, action)
             done = out.done.astype(loss.dtype)
+            if self.recurrent:
+                # hidden state resets with the episode (auto-reset boundary)
+                hidden = hidden * (1.0 - done)[:, None]
             loss = loss - out.reward * discount
             discount = discount * self.gamma * (1.0 - done) + done
             metrics = (out.reward, out.done, out.info["is_success"])
-            return (env_state, out.obs, discount, key, loss), metrics
+            return (env_state, out.obs, discount, key, loss, hidden), metrics
 
         if self.remat:
             body = jax.checkpoint(body, prevent_cse=False)
 
         discount0 = jnp.ones((n,), jnp.float32)
         loss0 = jnp.zeros((n,), jnp.float32)
-        (env_state, obs, _d, key, loss), metrics = jax.lax.scan(
-            body, (env_state, obs, discount0, key, loss0), None, length=self.H
+        (env_state, obs, _d, key, loss, hidden), metrics = jax.lax.scan(
+            body, (env_state, obs, discount0, key, loss0, hidden), None,
+            length=self.H,
         )
-        return loss.mean(), (env_state, obs, key, metrics)
+        return loss.mean(), (env_state, obs, key, hidden, metrics)
 
     def _update_impl(self, st: BPTTState) -> Tuple[BPTTState, Dict[str, Array]]:
-        (loss, (env_state, obs, key, metrics)), grads = jax.value_and_grad(
+        (loss, (env_state, obs, key, hidden, metrics)), grads = jax.value_and_grad(
             self._rollout_loss, has_aux=True
-        )(st.params, st.env_state, st.obs, st.key)
+        )(st.params, st.env_state, st.obs, st.key, st.hidden)
 
         updates, opt_state = self.tx.update(grads, st.opt_state, st.params)
         params = optax.apply_updates(st.params, updates)
@@ -139,6 +163,7 @@ class BPTT:
         # env.detach(): truncate BPTT between updates (`BPTT.py:134`)
         env_state = jax.lax.stop_gradient(env_state)
         obs = jax.lax.stop_gradient(obs)
+        hidden = jax.lax.stop_gradient(hidden)
 
         rewards, dones, succ = metrics
         out_metrics = {
@@ -155,6 +180,7 @@ class BPTT:
             obs=obs,
             key=key,
             global_step=st.global_step + self.H * self.env.num_envs,
+            hidden=hidden,
         )
         return st, out_metrics
 
@@ -203,5 +229,12 @@ class BPTT:
         return st._replace(params=data["params"], opt_state=data["opt_state"])
 
     def predict(self, st: BPTTState, obs: Dict[str, Array]) -> Array:
-        action, _ = self.actor.apply(st.params, obs, deterministic=True)
+        if self.recurrent:
+            hidden = st.hidden if st.hidden != () else self.actor.initial_hidden(
+                next(iter(obs.values())).shape[0]
+            )
+            action, _, _ = self.actor.apply(st.params, obs, hidden,
+                                            deterministic=True)
+        else:
+            action, _ = self.actor.apply(st.params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)

@@ -61,6 +61,49 @@ class Actor(nn.Module):
         return action, log_prob
 
 
+class RecurrentActor(nn.Module):
+    """GRU-recurrent Gaussian actor — extractor features feed a GRU whose
+    hidden state persists across the rollout (the reference's recurrent
+    extractor hook, `extractors.py:452-461` + recurrent option in
+    `policies.py`). Hidden state is carried explicitly and must be zeroed at
+    episode boundaries by the caller."""
+
+    action_dim: int = 4
+    hidden_dim: int = 128
+    net_arch: Optional[Dict[str, dict]] = None
+    latent_dim: Sequence[int] = (128,)
+    activation: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, Array], hidden: Array,
+                 key: Optional[Array] = None, deterministic: bool = False):
+        feat = MultiInputExtractor(self.net_arch, self.activation,
+                                   dtype=self.dtype, name="extractor")(obs)
+        hidden, _ = nn.GRUCell(features=self.hidden_dim, dtype=self.dtype,
+                               name="gru")(hidden, feat)
+        h = MLP(self.latent_dim, self.activation, dtype=self.dtype,
+                name="latent")(hidden)
+        mean = nn.Dense(self.action_dim, dtype=self.dtype, name="mu")(h)
+        log_std = jnp.clip(
+            nn.Dense(self.action_dim, dtype=self.dtype, name="log_std")(h),
+            LOG_STD_MIN, LOG_STD_MAX,
+        )
+        if deterministic or key is None:
+            return jnp.tanh(mean), None, hidden
+        std = jnp.exp(log_std)
+        noise = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+        pre = mean + std * noise
+        action = jnp.tanh(pre)
+        log_prob = (
+            -0.5 * (noise**2 + 2 * log_std + jnp.log(2 * jnp.pi))
+        ).sum(-1) - jnp.log(1 - action**2 + 1e-6).sum(-1)
+        return action, log_prob, hidden
+
+    def initial_hidden(self, batch: int) -> Array:
+        return jnp.zeros((batch, self.hidden_dim), self.dtype)
+
+
 class QCritic(nn.Module):
     """n_critics Q(s, a) heads (`td_policies.py:253-360`)."""
 
