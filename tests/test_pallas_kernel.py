@@ -110,3 +110,34 @@ def test_objects_append_as_capsules(interpret_pallas, scene):
 def test_family_split_padding(scene):
     assert scene.boxes.shape[1] % 4 == 0
     assert scene.capsules.shape[1] % 4 == 0
+
+
+def test_visual_bptt_through_renderer():
+    """End-to-end differentiation THROUGH the depth renderer: policy sees
+    depth, gradient flows action → dynamics → pose → render (IFT custom
+    VJP) → next depth → policy. The reference cannot do this at all
+    (habitat's rasteriser is not differentiable)."""
+    import jax
+
+    from visfly_tpu.algos import BPTT
+    from visfly_tpu.envs import NavigationEnv2
+
+    env = NavigationEnv2(
+        num_agent_per_scene=4, visual=True, requires_grad=True,
+        scene_kwargs={"path": "garage_simple_l_medium", "trace_steps": 16},
+        sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                        "resolution": [16, 16], "render_backend": "xla"}],
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.5, 1.0, 0.5]}}]}},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03}, max_episode_steps=32,
+    )
+    tr = BPTT(env, horizon=4, policy_kwargs={
+        "net_arch": {"depth": {"cnn": 32}, "state": {"mlp": [32]},
+                     "collision_vector": {"mlp": [16]}},
+        "latent_dim": (32,),
+    })
+    st = tr.init(jax.random.PRNGKey(0))
+    st, m = tr.update(st)
+    gn = float(m["grad_norm"])
+    assert np.isfinite(float(m["actor_loss"]))
+    assert np.isfinite(gn) and gn > 0

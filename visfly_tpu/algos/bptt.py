@@ -21,7 +21,6 @@ Semantics replicated:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -7,7 +7,7 @@ pytree ring buffer that lives in HBM; inserts and samples are pure functions
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

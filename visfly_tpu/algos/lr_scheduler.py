@@ -6,7 +6,6 @@ schedules (step-indexed callables usable with ``optax.adam(sched)``).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Union
 
 import optax

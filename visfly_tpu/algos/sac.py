@@ -9,7 +9,7 @@ buffer. Standard SAC semantics (twin Q, target entropy −|A|, polyak τ).
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

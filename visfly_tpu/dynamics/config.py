@@ -17,7 +17,7 @@ import dataclasses
 import json
 import math
 import os
-from typing import NamedTuple, Optional, Sequence, Tuple, Union
+from typing import NamedTuple, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -7,9 +7,7 @@ sim-to-real replay in utils/pid_alignment.py).
 """
 from __future__ import annotations
 
-from typing import Callable
 
-import jax.numpy as jnp
 from jax import Array
 
 from ..core.types import ActionType

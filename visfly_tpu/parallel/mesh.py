@@ -16,7 +16,6 @@ from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
-from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

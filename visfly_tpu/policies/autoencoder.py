@@ -7,7 +7,7 @@ pair with an optax training loop over depth frames collected from any env.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax

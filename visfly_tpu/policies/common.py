@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 INITIALIZERS: dict = {
     "kaiming": lambda: nn.initializers.kaiming_normal(),

@@ -11,7 +11,7 @@ compute with float32 params is supported via the ``dtype`` attribute.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ Functional counterparts of the reference policy classes:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ latent-state update mirroring the reference call pattern.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ end (depth gradients flow into drone pose).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from ..scene.prim_scene import (
     prim_sdf,
 )
 from ..scene.queries import sample_sdf
-from ..scene.scene import SceneData
 from .camera import camera_rays
 
 DEFAULT_MAX_DEPTH = 20.0  # background value (`droneEnv.py:306`)

@@ -12,7 +12,7 @@ numpy and jax arrays (pure ufunc math).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 

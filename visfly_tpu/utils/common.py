@@ -9,7 +9,7 @@ from __future__ import annotations
 import copy
 import os
 import random
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

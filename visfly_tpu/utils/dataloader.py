@@ -10,7 +10,7 @@ from __future__ import annotations
 import glob
 import os
 import random
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 
 def get_files_with_suffix(root: str, suffix: str) -> List[str]:

@@ -10,10 +10,9 @@ mp4 (+ per-sensor sub-videos) when matplotlib / imageio are available.
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

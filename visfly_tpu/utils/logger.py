@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import csv
 import os
-import sys
 import time
 from typing import Any, Dict, Optional
 
