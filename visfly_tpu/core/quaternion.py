@@ -186,6 +186,28 @@ def world_to_head(q: Array, v: Array) -> Array:
     return inv_rotate(extract_yaw_only(q), v)
 
 
+def local_to_head(q: Array, v: Array) -> Array:
+    """Body vector → heading frame: local→world→heading (`maths.py:94-101`)."""
+    return world_to_head(q, rotate(q, v))
+
+
+def extract_pitch_roll(q: Array) -> Array:
+    """Quaternion keeping only pitch and roll (`maths.py:66-85`)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    pitch = jnp.arctan2(2 * (w * y + x * z), 1 - 2 * (x * x + z * z))
+    roll = jnp.arctan2(2 * (w * x - y * z), 1 - 2 * (y * y + z * z))
+    hp, hr = pitch / 2, roll / 2
+    return jnp.stack(
+        [
+            jnp.cos(hp) * jnp.cos(hr),
+            jnp.sin(hr) * jnp.cos(hp),
+            jnp.sin(hp) * jnp.cos(hr),
+            jnp.sin(hp) * jnp.sin(hr),
+        ],
+        axis=-1,
+    )
+
+
 def omega_derivative(q: Array, omega: Array) -> Array:
     """Quaternion kinematics dq/dt = 0.5 · q ⊗ (0, ω_body) (`maths.py:311`)."""
     zero = jnp.zeros_like(omega[..., :1])

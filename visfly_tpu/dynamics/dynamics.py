@@ -194,6 +194,23 @@ def _de_normalize(config: DroneConfig, params: DroneParams, action: Array) -> Ar
     return jnp.concatenate([c0, c123], axis=-1)
 
 
+def normalize_command(config: DroneConfig, params: DroneParams,
+                      command: Array) -> Array:
+    """Physical command → [-1, 1] action — the ROS-node inverse of
+    ``_de_normalize`` (`Dynamics._normalize`, `dynamics.py:271-317`).
+
+    BODYRATE commands are [z-acc, bodyrates] (acceleration, NOT collective
+    thrust — matching the reference, which divides by mass upstream)."""
+    if config.action_type == ActionType.THRUST:
+        return (command / params.mass - params.bias0) / params.scale0
+    c0 = (command[:, :1] - params.bias0) / jnp.where(params.scale0 == 0, 1.0,
+                                                     params.scale0)
+    c123 = (command[:, 1:] - params.bias123) / jnp.where(
+        params.scale123 == 0, 1.0, params.scale123
+    )
+    return jnp.concatenate([c0, c123], axis=-1)
+
+
 def _so3_attitude(
     params: DroneParams,
     state: DynState,

@@ -304,6 +304,20 @@ class DroneGymEnv:
 
         return render_sensors(self, state)
 
+    def render_objects(self, state: EnvState):
+        """Per-scene dynamic geometry visible to cameras/collisions beyond the
+        baked scene: (positions (S, M, 3), radii (S, M)) or None. The base
+        env exposes the ObjectManager objects; the multi-drone env adds the
+        drones themselves."""
+        if self.objects is None or type(state.objects) is tuple:
+            return None
+        S = self.num_scene
+        m = self.objects.num_objects // S
+        return (
+            state.objects.pos.reshape(S, m, 3),
+            self.objects.radius.reshape(S, m),
+        )
+
     # -- helpers --------------------------------------------------------------
 
     def _build_imu_noise(self):
@@ -644,6 +658,28 @@ class DroneGymEnv:
             once_collided=once,
             aux=aux,
         )
+
+    def approaching_point(self, state: EnvState, max_distance: float = 100.0
+                          ) -> Array:
+        """First scene intersection along each agent's velocity direction —
+        the 'approaching point' ray query (`SceneManager.py:231-241` +
+        `droneEnv.py:481-488`): agents with no hit report a point
+        ``max_distance`` ahead."""
+        vel = dyn_mod.velocity(state.dyn)
+        norm = jnp.linalg.norm(vel, axis=-1, keepdims=True)
+        direction = vel / (norm + 1e-6)
+        fallback = state.dyn.pos + direction * max_distance
+        if self.scene is None:
+            return fallback
+        from ..render.sphere_trace import trace_rays
+
+        t, hit = trace_rays(
+            self._scene_of(state), self._scene_ids(),
+            jax.lax.stop_gradient(state.dyn.pos), direction,
+            n_steps=64, max_depth=max_distance,
+        )
+        return jnp.where(hit[:, None], state.dyn.pos + direction * t[:, None],
+                         fallback)
 
     def stack(self, state: EnvState):
         """Pose snapshot (`droneEnv.py:387-396` stack): returns the (pos,

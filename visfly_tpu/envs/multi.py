@@ -44,6 +44,20 @@ class MultiDroneGymEnv(DroneGymEnv):
         any_d = self._per_scene(done).any(axis=1, keepdims=True)
         return jnp.broadcast_to(any_d, (self.num_scene, self.num_agent_per_scene)).reshape(-1)
 
+    def render_objects(self, state: EnvState):
+        """Drones appear in each other's cameras (`SceneManager.py:201-202,
+        855-866`): every agent contributes a bounding sphere; rays
+        originating inside a sphere ignore it (tracer self-exclusion)."""
+        S, A = self.num_scene, self.num_agent_per_scene
+        drone_pos = state.dyn.pos.reshape(S, A, 3)
+        drone_rad = jnp.full((S, A), self.uav_radius, state.dyn.pos.dtype)
+        parent = super().render_objects(state)
+        if parent is None:
+            return drone_pos, drone_rad
+        obj_pos, obj_rad = parent
+        return (jnp.concatenate([obj_pos, drone_pos], axis=1),
+                jnp.concatenate([obj_rad, drone_rad], axis=1))
+
     def _update_collision(self, dyn: DynState, once: Array, objects=(),
                           scene=None) -> Tuple[CollisionInfo, Array]:
         info, once = super()._update_collision(dyn, once, objects, scene)

@@ -79,6 +79,20 @@ def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
     ox, oy, oz = o_ref[0, 0, 0], o_ref[0, 0, 1], o_ref[0, 0, 2]
     dx, dy, dz = d_ref[0, 0, 0], d_ref[0, 0, 1], d_ref[0, 0, 2]
 
+    # per-capsule origin-inside masks, computed once before the march
+    cap_excl = []
+    for k in range(kc):
+        ax, ay, az = cap_ref[0, k, 0], cap_ref[0, k, 1], cap_ref[0, k, 2]
+        bx, by, bz = cap_ref[0, k, 3], cap_ref[0, k, 4], cap_ref[0, k, 5]
+        rad = cap_ref[0, k, 6]
+        bax, bay, baz = bx - ax, by - ay, bz - az
+        inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
+        pax, pay, paz = ox - ax, oy - ay, oz - az
+        h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
+        ex, ey, ez = pax - bax * h, pay - bay * h, paz - baz * h
+        d0 = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12)
+        cap_excl.append(d0 <= rad + 0.05)
+
     def sdf(px, py, pz):
         dist = jnp.full((ROWS, LANES), BIG, jnp.float32)
         for k in range(kb):
@@ -122,6 +136,10 @@ def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
             ez = paz - baz * h
             dk = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12) - rad
             dk = jnp.where(active > 0.5, dk, BIG)
+            # self-exclusion: rays whose ORIGIN lies inside this capsule
+            # ignore it (drones rendering each other must not see their own
+            # body from inside)
+            dk = jnp.where(cap_excl[k], BIG, dk)
             dist = jnp.minimum(dist, dk)
         return dist
 
