@@ -19,6 +19,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
+from .common import TrainerMixin
 from ..policies.networks import Actor
 
 
@@ -31,7 +32,7 @@ class APGState(NamedTuple):
     global_step: Array
 
 
-class APG:
+class APG(TrainerMixin):
     def __init__(
         self,
         env: DroneGymEnv,

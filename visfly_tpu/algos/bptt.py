@@ -29,6 +29,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
+from .common import TrainerMixin
 from ..policies.networks import Actor, RecurrentActor
 
 
@@ -42,7 +43,7 @@ class BPTTState(NamedTuple):
     hidden: Any = ()  # GRU hidden state when recurrent
 
 
-class BPTT:
+class BPTT(TrainerMixin):
     """Analytic-gradient trainer. ``learn()`` runs the host loop; the
     per-update computation is one jitted program."""
 
@@ -194,8 +195,12 @@ class BPTT:
         state: Optional[BPTTState] = None,
         log_interval: int = 10,
         callback: Optional[Callable] = None,
+        log_dir: Optional[str] = None,
+        eval_env=None,
+        eval_interval: int = 0,
     ) -> BPTTState:
         st = self.init() if state is None else state
+        logger = self.make_logger(log_dir)
         steps_per_update = self.H * self.env.num_envs
         n_updates = max(1, int(total_timesteps) // steps_per_update)
         t0 = time.time()
@@ -212,6 +217,12 @@ class BPTT:
                     f"success={m['success_rate']:.2%} fps={fps:.0f}",
                     flush=True,
                 )
+                m["time/fps"] = fps
+                if eval_interval and i % eval_interval == 0:
+                    m.update(self.evaluate(st, eval_env))
+                self.log_metrics(logger, m, int(st.global_step))
+        if logger:
+            logger.close()
         return st
 
     # -- checkpointing -----------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Shared trainer plumbing: metric logging and periodic evaluation.
+
+Counterpart of the reference training loops' logging/eval scaffolding
+(tqdm + SB3 logger + deepcopy eval env, `shac.py:116-133,282-320`,
+`PPO.py:116-175`): trainers mix this in to get CSV/TensorBoard metric dumps
+and deterministic-policy evaluation rollouts between updates.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TrainerMixin:
+    """Requires: self.env, self.predict(st, obs)."""
+
+    def make_logger(self, log_dir: Optional[str] = None,
+                    formats=("stdout", "csv", "tensorboard")):
+        from ..utils.logger import Logger
+
+        return Logger(log_dir, formats) if log_dir else None
+
+    def evaluate(self, st, eval_env=None, max_steps: int = 1024,
+                 key=None) -> Dict[str, float]:
+        """Deterministic rollout until all agents finish (the reference's
+        periodic eval loop, `shac.py:282-302`); returns episode stats."""
+        env = eval_env if eval_env is not None else self.env
+        key = jax.random.PRNGKey(1234) if key is None else key
+        env_state, obs = env.reset(key)
+        step = jax.jit(lambda s, a: env.step(s, a, is_test=True))
+
+        n = env.num_envs
+        all_done = np.zeros(n, bool)
+        returns = np.zeros(n)
+        lengths = np.zeros(n, np.int32)
+        success = np.zeros(n, bool)
+        for _ in range(max_steps):
+            action = self.predict(st, obs)
+            env_state, out = step(env_state, action)
+            obs = out.obs
+            active = ~all_done
+            returns += np.asarray(out.reward) * active
+            lengths += active.astype(np.int32)
+            success |= np.asarray(out.info["is_success"]) & active
+            all_done |= np.asarray(out.done)
+            if all_done.all():
+                break
+        return {
+            "eval/ep_rew_mean": float(returns.mean()),
+            "eval/ep_len_mean": float(lengths.mean()),
+            "eval/success_rate": float(success.mean()),
+        }
+
+    def log_metrics(self, logger, metrics: Dict[str, Any], step: int,
+                    prefix: str = "train/"):
+        if logger is None:
+            return
+        for k, v in metrics.items():
+            key = k if "/" in k else prefix + k
+            logger.record(key, float(v) if hasattr(v, "item") else v)
+        logger.dump(step)

@@ -23,6 +23,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
+from .common import TrainerMixin
 from ..policies.networks import (
     ActorCriticPolicy,
     gaussian_entropy,
@@ -40,7 +41,7 @@ class PPOState(NamedTuple):
     global_step: Array
 
 
-class PPO:
+class PPO(TrainerMixin):
     def __init__(
         self,
         env: DroneGymEnv,
@@ -231,8 +232,10 @@ class PPO:
         return self._update(st)
 
     def learn(self, total_timesteps: int, state: Optional[PPOState] = None,
-              log_interval: int = 1) -> PPOState:
+              log_interval: int = 1, log_dir: Optional[str] = None,
+              eval_env=None, eval_interval: int = 0) -> PPOState:
         st = self.init() if state is None else state
+        logger = self.make_logger(log_dir)
         per = self.n_steps * self.env.num_envs
         n_updates = max(1, int(total_timesteps) // per)
         t0 = time.time()
@@ -250,6 +253,12 @@ class PPO:
                     f"fps={fps:.0f}",
                     flush=True,
                 )
+                m["time/fps"] = fps
+                if eval_interval and i % eval_interval == 0:
+                    m.update(self.evaluate(st, eval_env))
+                self.log_metrics(logger, m, int(st.global_step))
+        if logger:
+            logger.close()
         return st
 
     def rotate_scenes(self, st: PPOState) -> PPOState:

@@ -17,6 +17,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
+from .common import TrainerMixin
 from ..policies.networks import Actor, QCritic
 from . import buffers
 
@@ -36,7 +37,7 @@ class SACState(NamedTuple):
     global_step: Array
 
 
-class SAC:
+class SAC(TrainerMixin):
     def __init__(
         self,
         env: DroneGymEnv,

@@ -25,6 +25,7 @@ import optax
 from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
+from .common import TrainerMixin
 from ..policies.networks import Actor, QCritic
 from .returns import compute_td_returns
 
@@ -41,7 +42,7 @@ class SHACState(NamedTuple):
     global_step: Array
 
 
-class SHAC:
+class SHAC(TrainerMixin):
     def __init__(
         self,
         env: DroneGymEnv,
