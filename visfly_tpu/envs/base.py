@@ -717,6 +717,33 @@ class DroneGymEnv:
         st, obs = jax.eval_shape(lambda k: self.reset(k), jax.random.PRNGKey(0))
         return {k: (tuple(v.shape[1:]), v.dtype) for k, v in obs.items()}
 
+    @property
+    def observation_space(self):
+        """gymnasium Dict space (`droneGymEnv.py:76-101` surface), built from
+        the actual observation shapes."""
+        import numpy as np
+        from gymnasium import spaces
+
+        out = {}
+        for k, (shape, dtype) in self.obs_space().items():
+            if k == "color":
+                out[k] = spaces.Box(0, 255, shape, np.uint8)
+            elif k == "semantic":
+                out[k] = spaces.Box(0, 255, shape, np.uint8)
+            elif k == "depth":
+                out[k] = spaces.Box(0.0, np.inf, shape, np.float32)
+            else:
+                out[k] = spaces.Box(-np.inf, np.inf, shape, np.float32)
+        return spaces.Dict(out)
+
+    @property
+    def action_space(self):
+        """Box(-1, 1, (4,)) for all four modes (`droneGymEnv.py:108-117`)."""
+        import numpy as np
+        from gymnasium import spaces
+
+        return spaces.Box(-1.0, 1.0, (self.action_size,), np.float32)
+
     def __repr__(self):
         return (
             f"{type(self).__name__}(num_scene={self.num_scene}, "
