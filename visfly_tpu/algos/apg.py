@@ -122,3 +122,14 @@ class APG(TrainerMixin):
     def predict(self, st: APGState, obs) -> Array:
         action, _ = self.actor.apply(st.params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)
+
+    def save(self, st: APGState, path: str):
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(path, {"params": st.params})
+
+    def load(self, st: APGState, path: str) -> APGState:
+        from ..utils.checkpoint import load_pytree
+
+        d = load_pytree(path, {"params": st.params})
+        return st._replace(params=d["params"])

@@ -130,7 +130,9 @@ class LandingEnv(DroneGymEnv):
         pos = state.dyn.pos
         vel = dyn_mod.velocity(state.dyn)
         vel_norm = safe_norm(vel, axis=-1)
-        ori_xy = safe_norm(state.dyn.q[:, 1:3], axis=-1)
+        # reference penalises |(q_w, q_x)| (`LandingEnv.py:112` indexes
+        # orientation columns [0, 1]) — replicated verbatim for parity
+        ori_xy = safe_norm(state.dyn.q[:, 0:2], axis=-1)
         return (
             0.2 * jnp.clip(1.25 - safe_norm(centers, axis=-1), None, 1.0)
             + ori_xy * -0.2

@@ -93,6 +93,35 @@ def tile_cones_body(spec: Dict, tile: int = 8):
     )
 
 
+def camera_rays_components(
+    spec: Dict, pos: Array, q: Array
+) -> Tuple[Array, Array, Array]:
+    """Component-major ray generation for the TPU hot path.
+
+    Returns (origins (3, N), dirs (3, N, H·W), cos_forward (H·W,)).
+    Trailing-dim-3 arrays are poison on TPU (the minor dim pads to 128
+    lanes → 42× relayout blowups); here directions come out of one MXU
+    matmul ``R(N,3,3) @ dirs_body(3, H·W)`` with the pixel axis in lanes.
+    """
+    dirs_body, forward_body = pixel_dirs_body(spec)
+    H, W = dirs_body.shape[:2]
+    db = jnp.asarray(dirs_body.reshape(H * W, 3).T)  # (3, HW) static
+
+    offset = np.asarray(spec.get("position", [0.0, 0.0, 0.0]), np.float32)
+    if np.any(offset != 0):
+        origins = pos + quat.rotate_fused(
+            q, jnp.broadcast_to(jnp.asarray(offset), pos.shape)
+        )
+    else:
+        origins = pos
+
+    rot = quat.to_rotation_matrix(q)  # (N, 3, 3)
+    dirs = jnp.einsum("nck,kp->cnp", rot, db,
+                      preferred_element_type=jnp.float32)  # (3, N, HW)
+    cos_f = jnp.asarray(dirs_body.reshape(H * W, 3) @ forward_body)  # (HW,)
+    return origins.T, dirs, cos_f
+
+
 def camera_rays(
     spec: Dict, pos: Array, q: Array
 ) -> Tuple[Array, Array, Array]:

@@ -291,11 +291,53 @@ def render_camera(
     H, W = spec["resolution"]
     n = pos.shape[0]
 
-    origins, dirs, cos_f = camera_rays(spec, pos, q)
-
     if isinstance(data, PrimitiveScene):
         S = data.num_scene if num_scene is None else num_scene
         R = (n // S) * H * W
+
+        backend = spec.get("render_backend", "pallas")
+        use_pallas = (
+            backend == "pallas"
+            and jax.default_backend() == "tpu"
+            and R % 1024 == 0
+            and int(spec.get("tile", 1)) <= 1
+        )
+        if use_pallas:
+            # component-major fast path: rays never exist as (R, 3) arrays
+            from .camera import camera_rays_components
+            from .pallas_trace import pallas_trace_diff_c, prepare_kernel_scene
+
+            o_c, d_c, cos_flat = camera_rays_components(spec, pos, q)
+            o_full = jnp.broadcast_to(
+                o_c[:, :, None], (3, n, H * W)
+            ).reshape(3, S, R)
+            d_full = d_c.reshape(3, S, R)
+            kscene = prepare_kernel_scene(data, objects)
+            t0 = jnp.zeros((S, R), o_full.dtype)
+            t, hit = pallas_trace_diff_c(
+                kscene, o_full, d_full, t0,
+                int(spec.get("trace_steps_override", n_steps)), max_depth,
+            )
+            t_img = t.reshape(n, H, W)
+            hit_img = hit.reshape(n, H, W)
+            if stype == "depth":
+                depth = jnp.where(hit_img, t_img * cos_flat.reshape(1, H, W),
+                                  max_depth)
+                return {"depth": depth[:, None, :, :]}
+            # shading needs point-major arrays — convert once off the march
+            o_pm = jnp.transpose(o_full, (1, 2, 0))
+            d_pm = jnp.transpose(d_full, (1, 2, 0))
+            p_hit = o_pm + d_pm * t[..., None]
+            shaded = _shade_primitive(data, p_hit, hit, stype)
+            if stype == "semantic":
+                sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
+                return {"semantic": sem[:, None, :, :]}
+            rgb = jnp.clip(shaded, 0, 255).astype(jnp.uint8).reshape(n, H, W, 3)
+            return {"color": jnp.transpose(rgb, (0, 3, 1, 2))}
+
+    origins, dirs, cos_f = camera_rays(spec, pos, q)
+
+    if isinstance(data, PrimitiveScene):
         o_g = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(S, R, 3)
         d_g = dirs.reshape(S, R, 3)
 
