@@ -107,6 +107,62 @@ def test_objects_append_as_capsules(interpret_pallas, scene):
     np.testing.assert_allclose(float(t_with[0, 0]), 1.6, atol=0.05)
 
 
+def test_component_path_matches_packed(interpret_pallas, scene):
+    """The transpose-free component entry (six (S,tiles,ROWS,LANES) inputs,
+    pure reshapes) must produce the same march as the packed (N,3) entry."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_c
+
+    kscene = prepare_kernel_scene(scene)
+    o, d = rays(2 * TILE, seed=5)
+    t_p, hit_p = pallas_trace(kscene, o, d, n_steps=40)
+    o_c = jnp.transpose(o, (2, 0, 1))  # (3, S, R)
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_c, hit_c = pallas_trace_c(kscene, o_c, d_c, n_steps=40)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_p), atol=1e-6)
+    assert (np.asarray(hit_c) == np.asarray(hit_p)).all()
+
+
+def test_component_path_vjp(interpret_pallas, scene):
+    """IFT custom VJP on the component entry: finite differences along x."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_diff_c
+
+    kscene = prepare_kernel_scene(scene)
+    o, d = rays(TILE, seed=7)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t0 = jnp.zeros((1, TILE))
+
+    def mean_depth(oc):
+        t, _ = pallas_trace_diff_c(kscene, oc, d_c, t0, 40, 20.0)
+        return t.mean()
+
+    g = jax.grad(mean_depth)(o_c)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-3
+    t_p, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(eps), d_c, t0, 40, 20.0)
+    t_m, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(-eps), d_c, t0, 40, 20.0)
+    fd = (t_p[0, 0] - t_m[0, 0]) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0, 0] * TILE), float(fd), atol=0.05)
+
+
+def test_overrelaxed_march_converges(interpret_pallas, scene):
+    """omega>1 (safeguarded over-relaxation) must land on the same surfaces
+    as the plain march for well-conditioned rays (p50 is sub-mm; only the
+    grazing-ray tail needs the full plain step budget)."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_c
+
+    kscene = prepare_kernel_scene(scene)
+    o, d = rays(TILE, seed=11)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_p, hit_p = pallas_trace_c(kscene, o_c, d_c, n_steps=60)
+    t_o, hit_o = pallas_trace_c(kscene, o_c, d_c, n_steps=60, omega=1.5)
+    agree = np.asarray(hit_p) == np.asarray(hit_o)
+    assert agree.mean() > 0.98
+    err = np.abs(np.asarray(t_p) - np.asarray(t_o))[np.asarray(hit_p) & agree]
+    assert np.median(err) < 1e-2
+
+
 def test_family_split_padding(scene):
     assert scene.boxes.shape[1] % 4 == 0
     assert scene.capsules.shape[1] % 4 == 0

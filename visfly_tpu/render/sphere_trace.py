@@ -317,6 +317,7 @@ def render_camera(
             t, hit = pallas_trace_diff_c(
                 kscene, o_full, d_full, t0,
                 int(spec.get("trace_steps_override", n_steps)), max_depth,
+                float(spec.get("march_omega", 1.0)),
             )
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
