@@ -148,3 +148,55 @@ def test_trainer_logging_and_eval(tmp_path):
     stats = tr.evaluate(st, max_steps=20)
     assert 0 <= stats["eval/success_rate"] <= 1
     assert np.isfinite(stats["eval/ep_rew_mean"])
+
+def test_lr_schedule_dispatch_and_decay():
+    """transfer_schedule mirrors the reference dict-config dispatcher
+    (`utils/algorithms/lr_scheduler.py:60-91`)."""
+    from visfly_tpu.algos import transfer_schedule
+
+    assert transfer_schedule(3e-4) == pytest.approx(3e-4)
+    lin = transfer_schedule({"class": "linear",
+                             "kwargs": {"initial": 1e-3, "final": 1e-4,
+                                        "total_steps": 100}})
+    assert float(lin(0)) == pytest.approx(1e-3)
+    assert float(lin(100)) == pytest.approx(1e-4)
+    assert float(lin(50)) == pytest.approx(5.5e-4)
+    cos = transfer_schedule({"class": "cosine",
+                             "kwargs": {"initial": 1e-3, "total_steps": 10}})
+    assert float(cos(10)) == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        transfer_schedule({"class": "staircase"})
+
+
+def test_trainer_accepts_schedule_config():
+    """Trainers route learning_rate through transfer_schedule, so a dict
+    config decays the lr inside the fused update."""
+    env = hover_env(requires_grad=True)
+    from visfly_tpu.algos import BPTT
+
+    tr = BPTT(env, horizon=4, policy_kwargs={"latent_dim": (32,)},
+              learning_rate={"class": "linear",
+                             "kwargs": {"initial": 1e-3, "final": 0.0,
+                                        "total_steps": 8}})
+    st = tr.init(jax.random.PRNGKey(0))
+    for _ in range(3):
+        st, m = tr.update(st)
+    assert np.isfinite(float(m["actor_loss"]))
+
+
+def test_state_critic_heads():
+    """StateCritic = n V(s) heads (reference dm_policies
+    NoActorContinuousCritic): independent heads, finite grads."""
+    from visfly_tpu.policies.networks import StateCritic
+
+    obs = {"state": jnp.ones((7, 12))}
+    crit = StateCritic(n_critics=3, latent_dim=(32,))
+    params = crit.init(jax.random.PRNGKey(0), obs)
+    v = crit.apply(params, obs)
+    assert v.shape == (7, 3)
+    # heads have independent parameters → generally distinct outputs
+    assert not np.allclose(np.asarray(v[:, 0]), np.asarray(v[:, 1]))
+    g = jax.grad(lambda p: crit.apply(p, obs).sum())(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

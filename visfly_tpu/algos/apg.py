@@ -20,6 +20,7 @@ from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
 from .common import TrainerMixin
+from .lr_scheduler import transfer_schedule
 from ..policies.networks import Actor
 
 
@@ -53,7 +54,7 @@ class APG(TrainerMixin):
         self.actor = Actor(action_dim=env.action_size, net_arch=pk.get("net_arch"),
                            latent_dim=tuple(pk.get("latent_dim", (256, 256))))
         self.tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm), optax.adam(learning_rate)
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(transfer_schedule(learning_rate))
         )
         self._update = jax.jit(self._update_impl)
 

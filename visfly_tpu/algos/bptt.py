@@ -30,6 +30,7 @@ from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
 from .common import TrainerMixin
+from .lr_scheduler import transfer_schedule
 from ..policies.networks import Actor, RecurrentActor
 
 
@@ -91,7 +92,7 @@ class BPTT(TrainerMixin):
             )
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
-            optax.adam(learning_rate),
+            optax.adam(transfer_schedule(learning_rate)),
         )
         self._update = jax.jit(self._update_impl)
 

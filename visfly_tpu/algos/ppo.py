@@ -24,6 +24,7 @@ from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
 from .common import TrainerMixin
+from .lr_scheduler import transfer_schedule
 from ..policies.networks import (
     ActorCriticPolicy,
     gaussian_entropy,
@@ -91,7 +92,7 @@ class PPO(TrainerMixin):
             activation=pk.get("activation", "relu"),
         )
         self.tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm), optax.adam(learning_rate)
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(transfer_schedule(learning_rate))
         )
         self._update = jax.jit(self._update_impl)
 

@@ -18,6 +18,7 @@ from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
 from .common import TrainerMixin
+from .lr_scheduler import transfer_schedule
 from ..policies.networks import Actor, QCritic
 from . import buffers
 
@@ -73,9 +74,9 @@ class SAC(TrainerMixin):
                            latent_dim=latent)
         self.critic = QCritic(n_critics=2, net_arch=pk.get("net_arch"),
                               latent_dim=latent)
-        self.actor_tx = optax.adam(learning_rate)
-        self.critic_tx = optax.adam(learning_rate)
-        self.alpha_tx = optax.adam(learning_rate)
+        self.actor_tx = optax.adam(transfer_schedule(learning_rate))
+        self.critic_tx = optax.adam(transfer_schedule(learning_rate))
+        self.alpha_tx = optax.adam(transfer_schedule(learning_rate))
         # `train` selects between two compiled programs (collect-only vs
         # collect+update) — static so the branch is resolved at trace time
         self._step_and_train = jax.jit(self._step_and_train_impl, static_argnums=1)

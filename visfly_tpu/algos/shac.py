@@ -26,6 +26,7 @@ from jax import Array
 
 from ..envs.base import DroneGymEnv, EnvState
 from .common import TrainerMixin
+from .lr_scheduler import transfer_schedule
 from ..policies.networks import Actor, QCritic
 from .returns import compute_td_returns
 
@@ -74,10 +75,10 @@ class SHAC(TrainerMixin):
                               net_arch=pk.get("net_arch"), latent_dim=latent,
                               activation=pk.get("activation", "relu"))
         self.actor_tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm), optax.adam(learning_rate)
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(transfer_schedule(learning_rate))
         )
         self.critic_tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm), optax.adam(learning_rate)
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(transfer_schedule(learning_rate))
         )
         self._update = jax.jit(self._update_impl)
 
