@@ -139,6 +139,7 @@ class DroneGymEnv:
         is_train: bool = False,
         uav_radius: float = 0.1,
         sensitive_radius: float = 10.0,
+        col_refine_steps: int = 0,
         multi_drone: bool = False,
         latent_dim: Optional[int] = None,
         dtype=jnp.float32,
@@ -155,6 +156,7 @@ class DroneGymEnv:
         self.is_train = is_train
         self.uav_radius = float(uav_radius)
         self.sensitive_radius = float(sensitive_radius)
+        self.col_refine_steps = int(col_refine_steps)
         self.is_multi_drone = multi_drone
         self.dtype = dtype
         self.max_sense_radius = 10.0
@@ -400,13 +402,39 @@ class DroneGymEnv:
         bbox nearest-face computation (`droneEnv.py:344-362`). Dynamic
         objects override the collision point when closer (the fork's
         dynamic-KD-tree path, `SceneManager.py:399,888`).
+
+        ``col_refine_steps > 0`` sub-samples the query forward along the
+        velocity over one control interval (`SceneManager.py:425-438`) so
+        fast drones cannot tunnel through thin geometry between steps; the
+        reported point/distance is the minimum over the samples (the
+        reference instead widens the collision record to (N, steps, 3) —
+        we keep the obs shape fixed, see DEVIATIONS.md).
         """
         pos = jax.lax.stop_gradient(dyn.pos)
         scene = self.scene if scene is None else scene
         if scene is not None and type(scene) is not tuple:
             from ..scene import closest_point_query
 
-            point, dis, out = closest_point_query(scene, self._scene_ids(), pos)
+            if self.col_refine_steps > 0:
+                k = self.col_refine_steps
+                vel = jax.lax.stop_gradient(dyn.vel)
+                frac = jnp.linspace(0.0, 1.0, k + 1)[:-1]  # (k,)
+                samples = (pos[:, None, :]
+                           + vel[:, None, :] * frac[None, :, None]
+                           * self.dyn_config.ctrl_dt)  # (N, k, 3)
+                n = pos.shape[0]
+                flat = samples.reshape(n * k, 3)
+                ids = jnp.repeat(self._scene_ids(), k)
+                p_s, d_s, o_s = closest_point_query(scene, ids, flat)
+                d_s = d_s.reshape(n, k)
+                best = jnp.argmin(d_s, axis=1)
+                point = p_s.reshape(n, k, 3)[jnp.arange(n), best]
+                dis = d_s[jnp.arange(n), best]
+                out = jnp.any(o_s.reshape(n, k), axis=1)
+            else:
+                point, dis, out = closest_point_query(
+                    scene, self._scene_ids(), pos
+                )
             vector = point - pos
         else:
             lo, hi = self.bbox[0], self.bbox[1]

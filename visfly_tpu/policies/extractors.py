@@ -239,6 +239,12 @@ EXTRACTOR_ALIASES: Dict[str, Dict[str, dict]] = {
     },
     "FlexibleExtractor": {},  # per-key defaults
     "EmptyExtractor": {},
+    # dreamer-style latent keys injected by env latent hooks
+    # (reference extractors.py LatentCombineExtractor)
+    "LatentCombineExtractor": {
+        "state": {"mlp": [128, 64]}, "deter": {"mlp": [128]},
+        "stoch": {"mlp": [64]},
+    },
 }
 
 
