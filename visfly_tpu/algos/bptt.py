@@ -205,23 +205,26 @@ class BPTT(TrainerMixin):
         steps_per_update = self.H * self.env.num_envs
         n_updates = max(1, int(total_timesteps) // steps_per_update)
         t0 = time.time()
-        for i in range(n_updates):
-            st, metrics = self.update(st)
-            if callback is not None:
-                callback(i, st, metrics)
-            if log_interval and (i % log_interval == 0 or i == n_updates - 1):
-                m = jax.device_get(metrics)
-                fps = (i + 1) * steps_per_update / max(time.time() - t0, 1e-9)
-                print(
-                    f"[BPTT] update {i + 1}/{n_updates} "
-                    f"loss={m['actor_loss']:.4f} r̄={m['reward_mean']:.4f} "
-                    f"success={m['success_rate']:.2%} fps={fps:.0f}",
-                    flush=True,
-                )
-                m["time/fps"] = fps
-                if eval_interval and i % eval_interval == 0:
-                    m.update(self.evaluate(st, eval_env))
-                self.log_metrics(logger, m, int(st.global_step))
+        try:
+            for i in range(n_updates):
+                st, metrics = self.update(st)
+                if callback is not None:
+                    callback(i, st, metrics)
+                if log_interval and (i % log_interval == 0 or i == n_updates - 1):
+                    m = jax.device_get(metrics)
+                    fps = (i + 1) * steps_per_update / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[BPTT] update {i + 1}/{n_updates} "
+                        f"loss={m['actor_loss']:.4f} r̄={m['reward_mean']:.4f} "
+                        f"success={m['success_rate']:.2%} fps={fps:.0f}",
+                        flush=True,
+                    )
+                    m["time/fps"] = fps
+                    if eval_interval and i % eval_interval == 0:
+                        m.update(self.evaluate(st, eval_env))
+                    self.log_metrics(logger, m, int(st.global_step))
+        except KeyboardInterrupt:
+            self.save_interrupt_cache(st, log_dir)
         if logger:
             logger.close()
         return st

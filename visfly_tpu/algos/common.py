@@ -54,6 +54,22 @@ class TrainerMixin:
             "eval/success_rate": float(success.mean()),
         }
 
+    def save_interrupt_cache(self, st, log_dir: Optional[str] = None) -> str:
+        """Ctrl-C checkpoint (the reference saves a cache on
+        KeyboardInterrupt, `dl_algorithm.py:180-182`, and exits the PPO
+        loop cleanly, `PPO.py:171-173`). Returns the saved path."""
+        import os
+
+        folder = log_dir or os.path.join(os.getcwd(), "saved")
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(
+            folder, f"{type(self).__name__.lower()}_interrupt_cache"
+        )
+        self.save(st, path)
+        print(f"[{type(self).__name__}] interrupted — checkpoint saved to "
+              f"{path}", flush=True)
+        return path
+
     def log_metrics(self, logger, metrics: Dict[str, Any], step: int,
                     prefix: str = "train/"):
         if logger is None:

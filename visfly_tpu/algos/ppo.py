@@ -240,24 +240,28 @@ class PPO(TrainerMixin):
         per = self.n_steps * self.env.num_envs
         n_updates = max(1, int(total_timesteps) // per)
         t0 = time.time()
-        for i in range(n_updates):
-            if self.scene_freq and i and i % self.scene_freq == 0:
-                st = self.rotate_scenes(st)
-            st, m = self.update(st)
-            if log_interval and (i % log_interval == 0 or i == n_updates - 1):
-                m = jax.device_get(m)
-                fps = (i + 1) * per / max(time.time() - t0, 1e-9)
-                print(
-                    f"[PPO] update {i + 1}/{n_updates} "
-                    f"ep_rew={m['ep_rew_mean']:.3f} ep_len={m['ep_len_mean']:.1f} "
-                    f"success={m['success_rate']:.2%} loss={m['loss']:.4f} "
-                    f"fps={fps:.0f}",
-                    flush=True,
-                )
-                m["time/fps"] = fps
-                if eval_interval and i % eval_interval == 0:
-                    m.update(self.evaluate(st, eval_env))
-                self.log_metrics(logger, m, int(st.global_step))
+        try:
+            for i in range(n_updates):
+                if self.scene_freq and i and i % self.scene_freq == 0:
+                    st = self.rotate_scenes(st)
+                st, m = self.update(st)
+                if log_interval and (i % log_interval == 0 or i == n_updates - 1):
+                    m = jax.device_get(m)
+                    fps = (i + 1) * per / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[PPO] update {i + 1}/{n_updates} "
+                        f"ep_rew={m['ep_rew_mean']:.3f} ep_len={m['ep_len_mean']:.1f} "
+                        f"success={m['success_rate']:.2%} loss={m['loss']:.4f} "
+                        f"fps={fps:.0f}",
+                        flush=True,
+                    )
+                    m["time/fps"] = fps
+                    if eval_interval and i % eval_interval == 0:
+                        m.update(self.evaluate(st, eval_env))
+                    self.log_metrics(logger, m, int(st.global_step))
+
+        except KeyboardInterrupt:
+            self.save_interrupt_cache(st, log_dir)
         if logger:
             logger.close()
         return st

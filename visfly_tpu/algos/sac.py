@@ -189,19 +189,23 @@ class SAC(TrainerMixin):
         st = self.init() if state is None else state
         n_steps = max(1, int(total_timesteps) // self.env.num_envs)
         t0 = time.time()
-        for i in range(n_steps):
-            train = (i * self.env.num_envs) >= self.learning_starts and (
-                i % self.train_freq == 0
-            )
-            st, m = self._step_and_train(st, train)
-            if log_interval and (i % log_interval == 0 or i == n_steps - 1):
-                m = jax.device_get(m)
-                fps = (i + 1) * self.env.num_envs / max(time.time() - t0, 1e-9)
-                print(
-                    f"[SAC] step {i + 1}/{n_steps} r̄={m['reward_mean']:.4f} "
-                    f"c_loss={m['critic_loss']:.4f} α={m['alpha']:.3f} fps={fps:.0f}",
-                    flush=True,
+        try:
+            for i in range(n_steps):
+                train = (i * self.env.num_envs) >= self.learning_starts and (
+                    i % self.train_freq == 0
                 )
+                st, m = self._step_and_train(st, train)
+                if log_interval and (i % log_interval == 0 or i == n_steps - 1):
+                    m = jax.device_get(m)
+                    fps = (i + 1) * self.env.num_envs / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[SAC] step {i + 1}/{n_steps} r̄={m['reward_mean']:.4f} "
+                        f"c_loss={m['critic_loss']:.4f} α={m['alpha']:.3f} fps={fps:.0f}",
+                        flush=True,
+                    )
+
+        except KeyboardInterrupt:
+            self.save_interrupt_cache(st, None)
         return st
 
     def predict(self, st: SACState, obs) -> Array:

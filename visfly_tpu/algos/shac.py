@@ -220,17 +220,21 @@ class SHAC(TrainerMixin):
         per = self.H * self.env.num_envs
         n_updates = max(1, int(total_timesteps) // per)
         t0 = time.time()
-        for i in range(n_updates):
-            st, m = self.update(st)
-            if log_interval and (i % log_interval == 0 or i == n_updates - 1):
-                m = jax.device_get(m)
-                fps = (i + 1) * per / max(time.time() - t0, 1e-9)
-                print(
-                    f"[SHAC] update {i + 1}/{n_updates} "
-                    f"a_loss={m['actor_loss']:.4f} c_loss={m['critic_loss']:.4f} "
-                    f"r̄={m['reward_mean']:.4f} fps={fps:.0f}",
-                    flush=True,
-                )
+        try:
+            for i in range(n_updates):
+                st, m = self.update(st)
+                if log_interval and (i % log_interval == 0 or i == n_updates - 1):
+                    m = jax.device_get(m)
+                    fps = (i + 1) * per / max(time.time() - t0, 1e-9)
+                    print(
+                        f"[SHAC] update {i + 1}/{n_updates} "
+                        f"a_loss={m['actor_loss']:.4f} c_loss={m['critic_loss']:.4f} "
+                        f"r̄={m['reward_mean']:.4f} fps={fps:.0f}",
+                        flush=True,
+                    )
+
+        except KeyboardInterrupt:
+            self.save_interrupt_cache(st, None)
         return st
 
     def predict(self, st: SHACState, obs) -> Array:
