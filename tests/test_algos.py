@@ -93,9 +93,12 @@ def test_ppo_update_and_learning():
     algo = PPO(env, n_steps=32, n_epochs=4, batch_size=128,
                policy_kwargs={"pi_layers": (64, 64), "vf_layers": (64, 64)},
                learning_rate=1e-3)
+    assert env.terminal_obs_in_info  # SB3 truncation bootstrap wired in
     st = algo.init(jax.random.PRNGKey(0))
     rewards = []
-    for _ in range(30):
+    # the (reference-parity) truncation bootstrap makes early updates
+    # noisier while V converges — the trend needs a longer window
+    for _ in range(80):
         st, m = algo.update(st)
         rewards.append(float(m["reward_mean"]))
     assert np.isfinite(rewards).all()

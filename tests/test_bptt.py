@@ -82,3 +82,20 @@ def test_recurrent_bptt_learns():
     assert np.mean(rewards[-5:]) > np.mean(rewards[:5])
     # hidden state evolves (GRU is in the loop)
     assert float(jnp.abs(st.hidden).max()) > 0
+
+    # predict on a recurrent policy must not crash (hidden is an array, not
+    # the () sentinel) and evaluation must thread the GRU hidden through the
+    # rollout rather than freezing it
+    obs = st.obs
+    a = tr.predict(st, obs)
+    assert a.shape == (32, 4)
+    carry = tr.init_predict_carry(obs)
+    a1, carry1 = tr.predict_step(st, obs, carry)
+    assert float(jnp.abs(carry1).max()) > 0  # hidden actually updated
+    a2, carry2 = tr.predict_step(st, obs, carry1)
+    assert not np.allclose(np.asarray(carry1), np.asarray(carry2))
+    # done agents' hidden resets
+    done = jnp.ones((32,), bool)
+    assert float(jnp.abs(tr.mask_predict_carry(carry2, done)).max()) == 0.0
+    stats = tr.evaluate(st, max_steps=8)
+    assert np.isfinite(stats["eval/ep_rew_mean"])

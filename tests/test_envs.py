@@ -51,6 +51,33 @@ def test_timeout_truncation_and_autoreset():
     assert not bool(out.done.any())
 
 
+def test_terminal_observation_is_pre_reset():
+    """With `terminal_obs_in_info` set, step info carries the pre-reset
+    observation (SB3's `terminal_observation`, `droneGymEnv.py:256-267`):
+    on done steps it differs from the returned post-reset obs; on live
+    steps the two coincide."""
+    env = make_env(max_episode_steps=3)
+    env.terminal_obs_in_info = True
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    a = jnp.zeros((8, 4))
+    for _ in range(3):
+        state, out = step(state, a)
+    assert bool(out.done.all())
+    term = np.asarray(out.info["terminal_observation"]["state"])
+    post = np.asarray(out.obs["state"])
+    # respawned agents describe a different state than the one they died in
+    assert not np.allclose(term[:, :3], post[:, :3])
+    assert np.isfinite(term).all()
+    # next step nobody is done: terminal obs == returned obs
+    state, out = step(state, a)
+    assert not bool(out.done.any())
+    np.testing.assert_allclose(
+        np.asarray(out.info["terminal_observation"]["state"]),
+        np.asarray(out.obs["state"]), atol=1e-6,
+    )
+
+
 def test_bbox_collision_info():
     env = make_env()
     state, _ = env.reset(jax.random.PRNGKey(0))

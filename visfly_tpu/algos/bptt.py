@@ -242,13 +242,41 @@ class BPTT(TrainerMixin):
         data = load_pytree(path, {"params": st.params, "opt_state": st.opt_state})
         return st._replace(params=data["params"], opt_state=data["opt_state"])
 
-    def predict(self, st: BPTTState, obs: Dict[str, Array]) -> Array:
+    def predict(self, st: BPTTState, obs: Dict[str, Array],
+                hidden: Any = None) -> Array:
+        """Deterministic action. For recurrent actors pass (and thread) the
+        hidden state via :meth:`predict_step`; bare predict falls back to the
+        trainer-carried hidden (or zeros) — note the GRU update is discarded
+        here, so rollouts must use predict_step."""
         if self.recurrent:
-            hidden = st.hidden if st.hidden != () else self.actor.initial_hidden(
-                next(iter(obs.values())).shape[0]
-            )
+            if hidden is None:
+                # st.hidden is a plain array when recurrent, the () sentinel
+                # otherwise — test by type (arrays don't compare to tuples)
+                hidden = (st.hidden if not isinstance(st.hidden, tuple)
+                          else self.actor.initial_hidden(
+                              next(iter(obs.values())).shape[0]))
             action, _, _ = self.actor.apply(st.params, obs, hidden,
                                             deterministic=True)
         else:
             action, _ = self.actor.apply(st.params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)
+
+    # recurrent evaluation hooks (TrainerMixin.evaluate threads the GRU
+    # hidden through the rollout and resets it at episode boundaries)
+    def init_predict_carry(self, obs):
+        if not self.recurrent:
+            return ()
+        return self.actor.initial_hidden(next(iter(obs.values())).shape[0])
+
+    def predict_step(self, st: BPTTState, obs, carry):
+        if not self.recurrent:
+            return self.predict(st, obs), carry
+        action, _, hidden = self.actor.apply(st.params, obs, carry,
+                                             deterministic=True)
+        return jnp.clip(action, -1.0, 1.0), hidden
+
+    def mask_predict_carry(self, carry, done):
+        if not self.recurrent:
+            return carry
+        keep = 1.0 - jnp.asarray(done, carry.dtype)
+        return carry * keep[:, None]

@@ -37,10 +37,12 @@ class TrainerMixin:
         returns = np.zeros(n)
         lengths = np.zeros(n, np.int32)
         success = np.zeros(n, bool)
+        carry = self.init_predict_carry(obs)
         for _ in range(max_steps):
-            action = self.predict(st, obs)
+            action, carry = self.predict_step(st, obs, carry)
             env_state, out = step(env_state, action)
             obs = out.obs
+            carry = self.mask_predict_carry(carry, out.done)
             active = ~all_done
             returns += np.asarray(out.reward) * active
             lengths += active.astype(np.int32)
@@ -53,6 +55,18 @@ class TrainerMixin:
             "eval/ep_len_mean": float(lengths.mean()),
             "eval/success_rate": float(success.mean()),
         }
+
+    # recurrent-policy hooks: trainers with a stateful policy (GRU hidden)
+    # override these so evaluation threads the hidden state through the
+    # rollout instead of re-using a frozen one.
+    def init_predict_carry(self, obs):
+        return ()
+
+    def predict_step(self, st, obs, carry):
+        return self.predict(st, obs), carry
+
+    def mask_predict_carry(self, carry, done):
+        return carry
 
     def save_interrupt_cache(self, st, log_dir: Optional[str] = None) -> str:
         """Ctrl-C checkpoint (the reference saves a cache on

@@ -59,6 +59,7 @@ class PPO(TrainerMixin):
         vf_coef: float = 0.5,
         max_grad_norm: float = 0.5,
         normalize_advantage: bool = True,
+        bootstrap_truncated: bool = True,
         scene_freq: Optional[int] = None,
         seed: int = 42,
         comment: Optional[str] = None,
@@ -74,6 +75,14 @@ class PPO(TrainerMixin):
         self.ent_coef = float(ent_coef)
         self.vf_coef = float(vf_coef)
         self.normalize_advantage = normalize_advantage
+        # SB3 semantics (reference PPO via collect_rollouts +
+        # `droneGymEnv.py:256-267`): TimeLimit truncation is NOT terminal —
+        # the reward is augmented with γ·V(terminal_observation). Requires
+        # the env to surface the pre-reset observation (static env flag;
+        # costs an extra render per step on visual envs).
+        self.bootstrap_truncated = bool(bootstrap_truncated)
+        if self.bootstrap_truncated:
+            env.terminal_obs_in_info = True
         self.scene_freq = scene_freq
         self.seed = seed
         self.comment = comment
@@ -123,7 +132,15 @@ class PPO(TrainerMixin):
             logp = gaussian_log_prob(mean, log_std, action)
             clipped = jnp.clip(action, -1.0, 1.0)
             env_state, out = env.step(env_state, clipped)
-            tape = (obs, action, logp, value, out.reward, out.done,
+            reward = out.reward
+            if self.bootstrap_truncated:
+                # SB3 truncation handling: r += γ·V(s_terminal) on timeout
+                _, _, term_value = self.policy.apply(
+                    params, out.info["terminal_observation"]
+                )
+                truncated = out.info["TimeLimit.truncated"]
+                reward = reward + self.gamma * term_value * truncated
+            tape = (obs, action, logp, value, reward, out.reward, out.done,
                     out.info["is_success"], out.info["episode_return"],
                     out.info["episode_length"])
             return (env_state, out.obs, key), tape
@@ -137,8 +154,8 @@ class PPO(TrainerMixin):
         env_state, obs, key, tape = self._collect(
             st.params, st.env_state, st.obs, st.key
         )
-        (b_obs, b_act, b_logp, b_val, b_rew, b_done, b_succ, b_ret_info,
-         b_len_info) = tape
+        (b_obs, b_act, b_logp, b_val, b_rew, b_raw_rew, b_done, b_succ,
+         b_ret_info, b_len_info) = tape
 
         _, _, last_value = self.policy.apply(st.params, obs)
         advantages, returns = compute_gae(
@@ -217,7 +234,7 @@ class PPO(TrainerMixin):
             "ep_rew_mean": ep_rew,
             "ep_len_mean": ep_len,
             "success_rate": succ_rate,
-            "reward_mean": b_rew.mean(),
+            "reward_mean": b_raw_rew.mean(),
         }
         st = PPOState(
             params=params,

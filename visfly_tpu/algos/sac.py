@@ -67,6 +67,11 @@ class SAC(TrainerMixin):
         self.auto_ent = ent_coef == "auto"
         self.target_entropy = -float(env.action_size)
         self.seed = seed
+        # SB3 _store_transition semantics: for done transitions the stored
+        # next_obs must be the pre-reset terminal observation, not the
+        # respawned one — otherwise truncated (timeout) transitions bootstrap
+        # V from the wrong state. Static env flag, set before tracing.
+        env.terminal_obs_in_info = True
 
         pk = dict(policy_kwargs or {})
         latent = tuple(pk.get("latent_dim", (256, 256)))
@@ -112,7 +117,16 @@ class SAC(TrainerMixin):
         env_state, out = self.env.step(st.env_state, action)
         # SB3 convention: don't mark timeout truncations as terminal
         terminal = out.done & ~out.info["TimeLimit.truncated"]
-        buf = buffers.insert(st.buffer, st.obs, out.obs, action, out.reward, terminal)
+        # done rows store the pre-reset terminal observation as next_obs
+        # (SB3's terminal_observation substitution in _store_transition)
+        term_obs = out.info["terminal_observation"]
+        next_obs = jax.tree_util.tree_map(
+            lambda post, pre: jnp.where(
+                out.done.reshape((-1,) + (1,) * (post.ndim - 1)), pre, post
+            ),
+            out.obs, term_obs,
+        )
+        buf = buffers.insert(st.buffer, st.obs, next_obs, action, out.reward, terminal)
 
         metrics = {"reward_mean": out.reward.mean(),
                    "critic_loss": jnp.asarray(0.0),

@@ -404,11 +404,10 @@ class DroneGymEnv:
         dynamic-KD-tree path, `SceneManager.py:399,888`).
 
         ``col_refine_steps > 0`` sub-samples the query forward along the
-        velocity over one control interval (`SceneManager.py:425-438`) so
-        fast drones cannot tunnel through thin geometry between steps; the
-        reported point/distance is the minimum over the samples (the
-        reference instead widens the collision record to (N, steps, 3) —
-        we keep the obs shape fixed, see DEVIATIONS.md).
+        velocity over one control interval (`SceneManager.py:425-438`).
+        Matching the reference, the reported point/distance/is_collision
+        come from the dt=0 sample only (`droneEnv.py:364` takes ``[:,0,:]``);
+        the sub-samples contribute solely to the out-of-bounds ``any()``.
         """
         pos = jax.lax.stop_gradient(dyn.pos)
         scene = self.scene if scene is None else scene
@@ -426,10 +425,8 @@ class DroneGymEnv:
                 flat = samples.reshape(n * k, 3)
                 ids = jnp.repeat(self._scene_ids(), k)
                 p_s, d_s, o_s = closest_point_query(scene, ids, flat)
-                d_s = d_s.reshape(n, k)
-                best = jnp.argmin(d_s, axis=1)
-                point = p_s.reshape(n, k, 3)[jnp.arange(n), best]
-                dis = d_s[jnp.arange(n), best]
+                point = p_s.reshape(n, k, 3)[:, 0]
+                dis = d_s.reshape(n, k)[:, 0]
                 out = jnp.any(o_s.reshape(n, k), axis=1)
             else:
                 point, dis, out = closest_point_query(
@@ -535,8 +532,11 @@ class DroneGymEnv:
                             collision=collision, once_collided=once, aux=aux,
                             objects=objects)
 
+        pre_sensor_obs = None
+        if self.needs_sensors_for_reward or self.terminal_obs_in_info:
+            pre_sensor_obs = self.sensor_observations(st)
         if self.needs_sensors_for_reward:
-            st = self.update_aux_from_sensors(st, self.sensor_observations(st))
+            st = self.update_aux_from_sensors(st, pre_sensor_obs)
 
         success = self.aggregate_success(self.get_success(st))
         failure = self.get_failure(st)
@@ -570,6 +570,15 @@ class DroneGymEnv:
         }
 
         st = st._replace(returns=returns, episode_done=episode_done)
+
+        if self.terminal_obs_in_info:
+            # pre-reset observation (the reference's SB3 `terminal_observation`
+            # info entry, `droneGymEnv.py:256-267`): what the agent actually
+            # saw at the end of the transition, before auto-reset respawns it.
+            # Off by default — for visual envs it costs a second render.
+            term_obs = self.get_observation(st, pre_sensor_obs)
+            term_obs = self._attach_latent_obs(term_obs, st.latent)
+            info["terminal_observation"] = jax.lax.stop_gradient(term_obs)
 
         if not is_test:
             st = self._auto_reset(st, done, k_spawn, k_phase)
@@ -610,6 +619,12 @@ class DroneGymEnv:
     # forces an extra pre-reset render each step, like the reference's
     # get_full_observation-before-done flow (`droneGymEnv.py:161`).
     needs_sensors_for_reward: bool = False
+
+    # set True (host-side, before tracing) to include the pre-reset
+    # `terminal_observation` in step info — required by the SB3-style
+    # truncation bootstrap in PPO and next-obs substitution in SAC. Static
+    # config: trainers that need it flip it in their constructors.
+    terminal_obs_in_info: bool = False
 
     def update_aux_from_sensors(self, state: EnvState, sensor_obs: Dict[str, Array]
                                 ) -> EnvState:
