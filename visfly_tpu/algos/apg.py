@@ -128,13 +128,4 @@ class APG(TrainerMixin):
         action, _ = self.actor.apply(st.params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)
 
-    def save(self, st: APGState, path: str):
-        from ..utils.checkpoint import save_pytree
-
-        save_pytree(path, {"params": st.params})
-
-    def load(self, st: APGState, path: str) -> APGState:
-        from ..utils.checkpoint import load_pytree
-
-        d = load_pytree(path, {"params": st.params})
-        return st._replace(params=d["params"])
+    # checkpointing: full-state save/load from TrainerMixin (exact resume)

@@ -229,18 +229,7 @@ class BPTT(TrainerMixin):
             logger.close()
         return st
 
-    # -- checkpointing -----------------------------------------------------------
-
-    def save(self, st: BPTTState, path: str):
-        from ..utils.checkpoint import save_pytree
-
-        save_pytree(path, {"params": st.params, "opt_state": st.opt_state})
-
-    def load(self, st: BPTTState, path: str) -> BPTTState:
-        from ..utils.checkpoint import load_pytree
-
-        data = load_pytree(path, {"params": st.params, "opt_state": st.opt_state})
-        return st._replace(params=data["params"], opt_state=data["opt_state"])
+    # checkpointing: full-state save/load from TrainerMixin (exact resume)
 
     def predict(self, st: BPTTState, obs: Dict[str, Array],
                 hidden: Any = None) -> Array:

@@ -68,6 +68,28 @@ class TrainerMixin:
     def mask_predict_carry(self, carry, done):
         return carry
 
+    # -- exact-resume checkpointing ------------------------------------------
+    # Full training-state save/load (params + optimizer moments + env state +
+    # RNG key + step counter …) so `-w` resume continues bit-for-bit — the
+    # counterpart of the reference's SB3 zips carrying the optimizer
+    # (`PPO.py:418-431,433-572`). Loading into a differently-shaped env (the
+    # eval flow) silently keeps the template's env fields and restores the
+    # rest.
+    def save(self, st, path: str):
+        from ..utils.checkpoint import save_train_state
+
+        save_train_state(path, st)
+
+    def load(self, st, path: str):
+        from ..utils.checkpoint import load_train_state
+
+        new_st, skipped = load_train_state(path, st)
+        if skipped:
+            print(f"[{type(self).__name__}] checkpoint fields kept from the "
+                  f"fresh init (shape/structure mismatch): {skipped}",
+                  flush=True)
+        return new_st
+
     def save_interrupt_cache(self, st, log_dir: Optional[str] = None) -> str:
         """Ctrl-C checkpoint (the reference saves a cache on
         KeyboardInterrupt, `dl_algorithm.py:180-182`, and exits the PPO

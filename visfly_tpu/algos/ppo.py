@@ -297,13 +297,4 @@ class PPO(TrainerMixin):
         mean, log_std, _ = self.policy.apply(st.params, obs)
         return jnp.clip(mean, -1.0, 1.0)
 
-    def save(self, st: PPOState, path: str):
-        from ..utils.checkpoint import save_pytree
-
-        save_pytree(path, {"params": st.params})
-
-    def load(self, st: PPOState, path: str) -> PPOState:
-        from ..utils.checkpoint import load_pytree
-
-        d = load_pytree(path, {"params": st.params})
-        return st._replace(params=d["params"])
+    # checkpointing: full-state save/load from TrainerMixin (exact resume)

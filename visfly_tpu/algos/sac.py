@@ -226,21 +226,6 @@ class SAC(TrainerMixin):
         action, _ = self.actor.apply(st.actor_params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)
 
-    def save(self, st: SACState, path: str):
-        from ..utils.checkpoint import save_pytree
-
-        save_pytree(path, {"actor": st.actor_params,
-                           "critic": st.critic_params,
-                           "critic_target": st.critic_target_params,
-                           "log_alpha": st.log_alpha})
-
-    def load(self, st: SACState, path: str) -> SACState:
-        from ..utils.checkpoint import load_pytree
-
-        d = load_pytree(path, {"actor": st.actor_params,
-                               "critic": st.critic_params,
-                               "critic_target": st.critic_target_params,
-                               "log_alpha": st.log_alpha})
-        return st._replace(actor_params=d["actor"], critic_params=d["critic"],
-                           critic_target_params=d["critic_target"],
-                           log_alpha=d["log_alpha"])
+    # checkpointing: full-state save/load from TrainerMixin (exact resume —
+    # includes the replay buffer; size the buffer accordingly or prune
+    # before saving if disk is a concern)

@@ -241,16 +241,4 @@ class SHAC(TrainerMixin):
         action, _ = self.actor.apply(st.actor_params, obs, deterministic=True)
         return jnp.clip(action, -1.0, 1.0)
 
-    def save(self, st: SHACState, path: str):
-        from ..utils.checkpoint import save_pytree
-
-        save_pytree(path, {"actor": st.actor_params, "critic": st.critic_params,
-                           "critic_target": st.critic_target_params})
-
-    def load(self, st: SHACState, path: str) -> SHACState:
-        from ..utils.checkpoint import load_pytree
-
-        d = load_pytree(path, {"actor": st.actor_params, "critic": st.critic_params,
-                               "critic_target": st.critic_target_params})
-        return st._replace(actor_params=d["actor"], critic_params=d["critic"],
-                           critic_target_params=d["critic_target"])
+    # checkpointing: full-state save/load from TrainerMixin (exact resume)
