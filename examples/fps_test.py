@@ -74,11 +74,14 @@ def main():
         ),
         args.steps, "physics + 64×64 depth",
     )
+    # cluttered scene (same primitive load as the depth benchmark) so the
+    # dynamic-object cost is measured against a realistic static-geometry
+    # baseline, mirroring the reference DynEnv config (`FPS_test.py:121-155`)
     measure(
         DynEnv(
             num_agent_per_scene=args.agents, visual=True,
             scene_kwargs={
-                "path": "box15_wall_empty",
+                "path": "garage_simple_l_medium",
                 "obj_settings": [
                     {"name": "mover", "velocity": 1.5, "radius": 0.4,
                      "path": {"class": "circle",

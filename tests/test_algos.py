@@ -74,6 +74,7 @@ def hover_env(**kw):
     return HoverEnv(**kw)
 
 
+@pytest.mark.slow
 def test_shac_update_and_learning():
     env = hover_env(requires_grad=True)
     algo = SHAC(env, horizon=8, policy_kwargs={"latent_dim": (64, 64)},
@@ -88,6 +89,7 @@ def test_shac_update_and_learning():
     assert float(m["critic_loss"]) >= 0
 
 
+@pytest.mark.slow
 def test_ppo_update_and_learning():
     env = hover_env()
     algo = PPO(env, n_steps=32, n_epochs=4, batch_size=128,
@@ -105,6 +107,7 @@ def test_ppo_update_and_learning():
     assert np.mean(rewards[-5:]) > np.mean(rewards[:5])
 
 
+@pytest.mark.slow
 def test_sac_smoke():
     env = hover_env(num_agent_per_scene=8)
     algo = SAC(env, buffer_size=5000, batch_size=64, learning_starts=64,
@@ -117,6 +120,7 @@ def test_sac_smoke():
     assert int(jax.device_get(st.buffer.pos)) == 30 * 8
 
 
+@pytest.mark.slow
 def test_apg_update():
     env = hover_env(requires_grad=True)
     algo = APG(env, horizon=8, learning_rate=3e-4,
@@ -132,6 +136,7 @@ def test_apg_update():
     assert np.mean(losses[-10:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_trainer_logging_and_eval(tmp_path):
     env = hover_env(num_agent_per_scene=8, requires_grad=True,
                     max_episode_steps=16)
@@ -261,3 +266,72 @@ def test_exact_resume(algo_name, tmp_path):
     for k in m_cont:
         np.testing.assert_array_equal(np.asarray(jax.device_get(m_cont[k])),
                                       np.asarray(jax.device_get(m_res[k])))
+
+
+def test_ppo_value_clip_and_target_kl():
+    """`clip_range_vf` (reference `PPO.py:188-244`) and `target_kl` early
+    stop (`PPO.py:276`) inside the jitted epoch scan."""
+    env = hover_env(num_agent_per_scene=8, max_episode_steps=16)
+    algo = PPO(env, n_steps=8, n_epochs=4, batch_size=32, clip_range_vf=0.2,
+               target_kl=1e-8,
+               policy_kwargs={"pi_layers": (16,), "vf_layers": (16,)})
+    st = algo.init(jax.random.PRNGKey(0))
+    st, m = algo.update(st)
+    st, m = algo.update(st)
+    assert np.isfinite(float(m["loss"]))
+    # a vanishing target_kl must stop most minibatch updates (the first one
+    # has ratio == 1 → kl 0, everything after exceeds the threshold)
+    assert float(m["update_fraction"]) < 0.5
+    assert float(m["approx_kl"]) >= 0
+
+    # with a huge target_kl every update applies
+    algo2 = PPO(hover_env(num_agent_per_scene=8, max_episode_steps=16),
+                n_steps=8, n_epochs=2, batch_size=32, target_kl=1e6,
+                policy_kwargs={"pi_layers": (16,), "vf_layers": (16,)})
+    st2 = algo2.init(jax.random.PRNGKey(0))
+    st2, m2 = algo2.update(st2)
+    assert float(m2["update_fraction"]) == 1.0
+
+
+def test_ppo_recurrent_policy():
+    """GRU-recurrent PPO (the reference policy's recurrent hook): rollout
+    threads the hidden state, training replays whole sequences, predict and
+    evaluation work."""
+    env = hover_env(num_agent_per_scene=8, max_episode_steps=16)
+    algo = PPO(env, n_steps=8, n_epochs=2, batch_size=0,
+               policy_kwargs={"recurrent": True, "hidden_dim": 16,
+                              "pi_layers": (16,), "vf_layers": (16,)})
+    st = algo.init(jax.random.PRNGKey(0))
+    assert st.hidden.shape == (8, 16)
+    for _ in range(3):
+        st, m = algo.update(st)
+    assert np.isfinite(float(m["loss"]))
+    assert float(jnp.abs(st.hidden).max()) > 0
+    a = algo.predict(st, st.obs)
+    assert a.shape == (8, 4)
+    stats = algo.evaluate(st, max_steps=8)
+    assert np.isfinite(stats["eval/ep_rew_mean"])
+
+
+def test_ppo_episode_stats_window():
+    """The on-device 100-episode ring matches SB3's ep_info_buffer deque
+    semantics: running means over the last ≤100 completed episodes."""
+    from visfly_tpu.algos.ppo import (EP_WINDOW, episode_stats_means,
+                                      init_episode_stats, push_episode_stats)
+
+    stats = init_episode_stats()
+    done = jnp.asarray([True, False, True])
+    stats = push_episode_stats(stats, done, jnp.asarray([2.0, 9.0, 4.0]),
+                               jnp.asarray([10, 99, 30]),
+                               jnp.asarray([True, False, False]))
+    r, l, s = episode_stats_means(stats)
+    assert int(stats.count) == 2
+    assert float(r) == 3.0 and float(l) == 20.0 and float(s) == 0.5
+    # overflow wraps: window keeps only the last EP_WINDOW episodes
+    for v in range(200):
+        stats = push_episode_stats(
+            stats, jnp.asarray([True, False, False]),
+            jnp.full((3,), float(v)), jnp.ones(3), jnp.zeros(3, bool))
+    assert int(stats.count) == EP_WINDOW
+    r, _, _ = episode_stats_means(stats)
+    assert float(r) == np.mean(np.arange(100, 200))

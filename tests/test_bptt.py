@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visfly_tpu.algos import BPTT
 from visfly_tpu.envs import HoverEnv
@@ -31,6 +32,7 @@ def test_update_runs_and_is_finite():
     assert int(st.global_step) == 16 * 32
 
 
+@pytest.mark.slow
 def test_training_improves_reward():
     tr = make_trainer()
     st = tr.init(jax.random.PRNGKey(1))
@@ -63,6 +65,7 @@ def test_predict_deterministic():
     assert np.abs(np.asarray(a1)).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_recurrent_bptt_learns():
     from visfly_tpu.envs import HoverEnv
     env = HoverEnv(
@@ -98,4 +101,33 @@ def test_recurrent_bptt_learns():
     done = jnp.ones((32,), bool)
     assert float(jnp.abs(tr.mask_predict_carry(carry2, done)).max()) == 0.0
     stats = tr.evaluate(st, max_steps=8)
+    assert np.isfinite(stats["eval/ep_rew_mean"])
+
+
+def test_recurrent_bptt_predict_hooks():
+    """Fast coverage of the recurrent path: one update, predict without a
+    crash (hidden is an array, not the () sentinel), and evaluation hooks
+    that thread + reset the GRU hidden."""
+    env = HoverEnv(
+        num_agent_per_scene=8, visual=False, requires_grad=True,
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03}, max_episode_steps=16,
+    )
+    tr = BPTT(env, horizon=4,
+              policy_kwargs={"recurrent": True, "hidden_dim": 16,
+                             "latent_dim": (16,)})
+    st = tr.init(jax.random.PRNGKey(0))
+    st, m = tr.update(st)
+    assert np.isfinite(float(m["actor_loss"]))
+
+    obs = st.obs
+    a = tr.predict(st, obs)
+    assert a.shape == (8, 4)
+    carry = tr.init_predict_carry(obs)
+    a1, carry1 = tr.predict_step(st, obs, carry)
+    assert float(jnp.abs(carry1).max()) > 0  # hidden actually updated
+    _, carry2 = tr.predict_step(st, obs, carry1)
+    assert not np.allclose(np.asarray(carry1), np.asarray(carry2))
+    done = jnp.ones((8,), bool)
+    assert float(jnp.abs(tr.mask_predict_carry(carry2, done)).max()) == 0.0
+    stats = tr.evaluate(st, max_steps=4)
     assert np.isfinite(stats["eval/ep_rew_mean"])

@@ -136,3 +136,98 @@ def test_mesh_scene_render(tmp_path):
                         n_steps=64, max_depth=10.0)
     depth = np.asarray(out["depth"])
     np.testing.assert_allclose(depth[0, 0, 16, 16], 2.0, atol=0.1)
+
+
+def test_mesh_decomposition_boxes(tmp_path):
+    """Mesh → greedy box decomposition: boxes stay inside the occupancy, the
+    cover target is met, and the decomposed primitive scene renders depth
+    matching the exact grid backend to within the grid spacing."""
+    import jax
+    import jax.numpy as jnp
+
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.decompose import decompose_mesh_scene, sdf_grid_to_boxes
+    from visfly_tpu.scene.mesh import mesh_to_sdf_grid
+    from visfly_tpu.scene.prim_scene import pack_scenes
+
+    # two separated cubes → expect ≈2 boxes reproducing both
+    v1, f1 = unit_cube(center=(0.0, 0.0, 0.0), half=1.0)
+    v2, f2 = unit_cube(center=(4.0, 0.0, 0.0), half=0.8)
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    p = tmp_path / "two.obj"
+    with open(p, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+    spacing = 0.1
+    spec = decompose_mesh_scene(str(p), spacing=spacing, margin=1.5,
+                                max_prims=16, min_cover=0.97)
+    assert 2 <= len(spec.primitives) <= 6, len(spec.primitives)
+    # every box must lie inside the true occupancy (conservative)
+    for pr in spec.primitives:
+        c, h = np.asarray(pr["center"]), np.asarray(pr["half_extents"])
+        inside1 = np.all(np.abs(c) + h <= 1.0 + 1.5 * spacing)
+        inside2 = np.all(np.abs(c - [4, 0, 0]) + h <= 0.8 + 1.5 * spacing)
+        assert inside1 or inside2, (c, h)
+
+    # depth parity vs the exact grid backend
+    from visfly_tpu.scene.mesh import bake_mesh_scene
+
+    grid_data = bake_mesh_scene(str(p), spacing=spacing, margin=1.5)
+    prim_data = pack_scenes([spec])
+    pos = jnp.asarray([[-2.5, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    spec_cam = {"sensor_type": "depth", "resolution": [32, 32]}
+    d_grid = np.asarray(render_camera(grid_data, jnp.zeros(1, jnp.int32),
+                                      pos, q, spec_cam, n_steps=64,
+                                      max_depth=10.0)["depth"])
+    d_prim = np.asarray(render_camera(prim_data, jnp.zeros(1, jnp.int32),
+                                      pos, q, spec_cam, n_steps=64,
+                                      max_depth=10.0)["depth"])
+    # centre pixel: the first cube's face at x=-1 → depth 1.5
+    np.testing.assert_allclose(d_prim[0, 0, 16, 16], 1.5, atol=2 * spacing)
+    hit_both = (d_grid < 9.9) & (d_prim < 9.9)
+    assert hit_both.mean() > 0.1
+    err = np.abs(d_grid - d_prim)[hit_both]
+    assert np.percentile(err, 95) < 2 * spacing, np.percentile(err, 95)
+
+
+def test_mesh_file_env_uses_primitive_backend(tmp_path):
+    """An env pointed at a GLB/OBJ file decomposes it to primitives by
+    default (fast path); backend='grid' opts into the exact grid."""
+    import jax
+
+    from visfly_tpu.envs import NavigationEnv
+    from visfly_tpu.scene.prim_scene import PrimitiveScene
+    from visfly_tpu.scene.scene import SceneData
+
+    verts, faces = unit_cube(center=(0.0, 0.0, 2.0), half=1.0)
+    p = tmp_path / "room.obj"
+    with open(p, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+    def mkenv(**scene_kw):
+        return NavigationEnv(
+            num_agent_per_scene=2, visual=True,
+            scene_kwargs={"path": str(p), "margin": 3.0, **scene_kw},
+            sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                            "resolution": [16, 16]}],
+            random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+                {"position": {"mean": [-2.5, 0.0, 2.0],
+                              "half": [0.1, 0.1, 0.1]}}]}},
+            dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+            max_episode_steps=16)
+
+    env = mkenv()
+    assert isinstance(env.scene, PrimitiveScene)
+    st, obs = env.reset(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs["depth"])).all()
+
+    env_g = mkenv(backend="grid")
+    assert isinstance(env_g.scene, SceneData)

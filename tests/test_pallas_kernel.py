@@ -197,3 +197,58 @@ def test_visual_bptt_through_renderer():
     gn = float(m["grad_norm"])
     assert np.isfinite(float(m["actor_loss"]))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_culled_kernel_matches_unculled(interpret_pallas, scene):
+    """Per-tile primitive culling (dual static path) must not change the
+    image: converged rays agree exactly; budget-exhausted rays report a
+    lower bound at least as tight (the culled march steps farther through
+    regions whose primitives were culled)."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_c
+
+    kscene = prepare_kernel_scene(scene)
+    o, d = rays(2 * TILE, seed=11)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_u, hit_u = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=False)
+    t_c, hit_c = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=True)
+    both = np.asarray(hit_u) & np.asarray(hit_c)
+    np.testing.assert_allclose(np.asarray(t_c)[both], np.asarray(t_u)[both],
+                               atol=1e-3)
+    # lower-bound property everywhere
+    assert (np.asarray(t_c) >= np.asarray(t_u) - 1e-3).all()
+    assert both.mean() > 0.5  # the scene is cluttered; most rays hit
+
+
+def test_frustum_cull_camera_tiles(interpret_pallas, scene):
+    """Camera-grid rays with one tile per camera enable the exact
+    frustum-plane cull (img_w) — image must match the unculled trace, and
+    the prepass must actually cull (fewer actives than the full set)."""
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+    from visfly_tpu.render.pallas_trace import cull_compact, pallas_trace_c
+
+    kscene = prepare_kernel_scene(scene)
+    spec = {"sensor_type": "depth", "resolution": [16, 64]}  # 1024 = 1 tile
+    pos = jnp.asarray([[1.0, 0.0, 1.5], [2.0, 1.0, 1.0]])
+    yaw = jnp.asarray([0.3, 2.2])
+    q = quat.from_euler(jnp.zeros(2), jnp.zeros(2), yaw)
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 2, 1024)).reshape(3, 1, 2048)
+    d_full = d_c.reshape(3, 1, 2048)
+
+    _, nb, _, nc = cull_compact(kscene, o_full, d_full, 20.0, img_w=64)
+    kb, kc = kscene.boxes.shape[1], kscene.capsules.shape[1]
+    assert int(np.asarray(nb).max()) <= kb
+    assert int(np.asarray(nb).sum() + np.asarray(nc).sum()) < 2 * (kb + kc), (
+        "frustum cull removed nothing"
+    )
+
+    t_u, hit_u = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
+                                cull=False)
+    t_c, hit_c = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
+                                cull=True, img_w=64)
+    both = np.asarray(hit_u) & np.asarray(hit_c)
+    np.testing.assert_allclose(np.asarray(t_c)[both], np.asarray(t_u)[both],
+                               atol=1e-3)
+    assert (np.asarray(t_c) >= np.asarray(t_u) - 1e-3).all()

@@ -154,3 +154,91 @@ def test_multi_scene_batching():
     # different scenes have different obstacle layouts → depth images differ
     d = np.asarray(obs["depth"])
     assert np.abs(d[0] - d[2]).max() > 0.1
+
+
+def test_camera_noise_model_statistics():
+    """TPU-native sensor noise models (`SceneManager.py:1030-1033` hookup):
+    statistical sanity per model, determinism under a fixed key."""
+    import jax
+    import jax.numpy as jnp
+
+    from visfly_tpu.render import noise as nz
+
+    key = jax.random.PRNGKey(0)
+    rgb = jnp.full((4, 3, 32, 32), 128, jnp.uint8)
+
+    g = nz.gaussian(key, rgb, intensity_constant=0.1)
+    gf = np.asarray(g, np.float32)
+    assert g.dtype == jnp.uint8
+    assert 5.0 < gf.std() < 40.0  # σ ≈ 25.5 before clipping
+    assert abs(gf.mean() - 128.0) < 2.0
+
+    sp = nz.salt_and_pepper(key, rgb, amount=0.1)
+    spf = np.asarray(sp)
+    frac_salt = (spf == 255).mean()
+    frac_pepper = (spf == 0).mean()
+    assert 0.03 < frac_salt < 0.07 and 0.03 < frac_pepper < 0.07
+
+    po = nz.poisson(key, rgb)
+    pof = np.asarray(po, np.float32)
+    assert 5.0 < pof.std() < 20.0  # sqrt(128) ≈ 11.3
+    assert abs(pof.mean() - 128.0) < 2.0
+
+    sk = nz.speckle(key, rgb, sigma=0.05)
+    skf = np.asarray(sk, np.float32)
+    assert 3.0 < skf.std() < 15.0
+
+    depth = jnp.full((4, 1, 32, 32), 3.0, jnp.float32)
+    rd = nz.redwood_depth(key, depth, lateral_prob=0.5, dropout_scale=0.25)
+    rdf = np.asarray(rd)
+    valid = rdf[rdf > 0]
+    assert abs(valid.mean() - 3.0) < 0.1  # unbiased where not dropped
+    assert valid.std() > 0  # axial noise + quantization
+    # a step edge must trigger dropout
+    edge = depth.at[..., 16:].set(10.0)
+    rde = np.asarray(nz.redwood_depth(key, edge, lateral_prob=0.0,
+                                      dropout_scale=0.25))
+    assert (rde == 0.0).any()
+    # determinism under the same key
+    np.testing.assert_array_equal(
+        np.asarray(nz.redwood_depth(key, depth)),
+        np.asarray(nz.redwood_depth(key, depth)))
+
+
+def test_env_applies_sensor_noise():
+    """noise_kwargs entries keyed by sensor uuid reach the renderer: the
+    depth observation is perturbed vs the noiseless env, and changes from
+    step to step (per-step PRNG)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visfly_tpu.envs import NavigationEnv
+
+    def mkenv(noise):
+        rk = {"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.1, 0.1, 0.1]}}]}}
+        if noise:
+            rk["noise_kwargs"] = {"depth": {
+                "model": "RedwoodDepthNoiseModel",
+                "kwargs": {"noise_multiplier": 1.0, "lateral_prob": 0.5}}}
+        return NavigationEnv(
+            num_agent_per_scene=2, visual=True,
+            scene_kwargs={"path": "garage_simple_l_medium"},
+            sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                            "resolution": [16, 16]}],
+            random_kwargs=rk,
+            dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+            max_episode_steps=32)
+
+    env_clean, env_noisy = mkenv(False), mkenv(True)
+    st_c, obs_c = env_clean.reset(jax.random.PRNGKey(0))
+    st_n, obs_n = env_noisy.reset(jax.random.PRNGKey(0))
+    d_c, d_n = np.asarray(obs_c["depth"]), np.asarray(obs_n["depth"])
+    assert d_c.shape == d_n.shape == (2, 1, 16, 16)
+    assert not np.allclose(d_c, d_n)
+    # noise is fresh each step (keyed on the stepped PRNG)
+    a = jnp.zeros((2, 4))
+    st_n1, out1 = env_noisy.step(st_n, a)
+    st_n2, out2 = env_noisy.step(st_n1, a)
+    assert not np.allclose(np.asarray(out1.obs["depth"]),
+                           np.asarray(out2.obs["depth"]))

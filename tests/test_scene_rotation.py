@@ -2,13 +2,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visfly_tpu.envs import HoverEnv, NavigationEnv
 
 
 def make_visual_env(**kw):
+    kw.setdefault("num_agent_per_scene", 4)
     return NavigationEnv(
-        num_agent_per_scene=4, visual=True,
+        visual=True,
         scene_kwargs={"path": "garage_crossing", **kw.pop("scene_kwargs", {})},
         sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
                         "resolution": [16, 16]}],
@@ -18,6 +20,7 @@ def make_visual_env(**kw):
     )
 
 
+@pytest.mark.slow
 def test_scene_rotation_changes_observations_without_recompile():
     env = make_visual_env()
     state, obs0 = env.reset(jax.random.PRNGKey(0))
@@ -104,3 +107,42 @@ def test_meshgrid_eval_spawns():
     p = np.asarray(pos)
     # corners of the spawn box (half-range semantics: ±half)
     np.testing.assert_allclose(sorted(p[:, 0]), [-1.0, -1.0, 3.0, 3.0], atol=1e-5)
+
+
+def test_reset_env_by_id_swaps_single_scene():
+    """Per-scene reset (`droneGymEnv.py:329-337`): swapping scene 0 changes
+    its assets and respawns only its agents; scene 1's assets, agents and
+    observations are untouched; the compiled step does not retrace."""
+    env = make_visual_env(num_scene=2, num_agent_per_scene=2)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    state, out = step(state, jnp.zeros((4, 4)))
+    compiles_before = step._cache_size()
+    step_count_before = np.asarray(state.step_count)
+    pos_before = np.asarray(state.dyn.pos)
+    # render at FIXED poses before/after the swap to isolate the asset change
+    depth_before = np.asarray(env.sensor_observations(state)["depth"])
+
+    state2 = env.reset_env_by_id(state, 0)
+
+    # scene-0 assets changed, scene-1 assets bit-identical
+    new_scene = env.scene
+    depth_fixed = np.asarray(
+        env.sensor_observations(state._replace(scene=new_scene))["depth"]
+    )
+    assert np.abs(depth_fixed[:2] - depth_before[:2]).max() > 0.05, (
+        "scene 0's observations did not change"
+    )
+    np.testing.assert_allclose(depth_fixed[2:], depth_before[2:], atol=1e-6)
+
+    # only scene-0 agents respawned
+    assert (np.asarray(state2.step_count)[:2] == 0).all()
+    np.testing.assert_array_equal(np.asarray(state2.step_count)[2:],
+                                  step_count_before[2:])
+    np.testing.assert_allclose(np.asarray(state2.dyn.pos)[2:], pos_before[2:],
+                               atol=1e-6)
+
+    # the already-compiled step keeps working without a retrace
+    state2, out2 = step(state2, jnp.zeros((4, 4)))
+    assert step._cache_size() == compiles_before
+    assert np.isfinite(np.asarray(out2.obs["depth"])).all()

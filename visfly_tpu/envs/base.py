@@ -298,6 +298,31 @@ class DroneGymEnv:
             return self.reset_agents(state, jnp.ones((self.num_agent,), bool))
         return state
 
+    def reset_env_by_id(self, state: EnvState, scene_id: int) -> EnvState:
+        """Swap ONE scene's assets and respawn only that scene's agents —
+        the reference's per-scene reset (`droneGymEnv.py:329-337`). The new
+        scene arrays are injected as runtime operands (shape floors in the
+        packer keep compiled programs valid), other scenes' assets and
+        agents are untouched."""
+        mask = self._scene_ids() == int(scene_id)
+        if self.scene is not None:
+            from ..scene import swap_scene_for_env
+
+            new_scene = swap_scene_for_env(self, int(scene_id))
+            old = self._scene_of(state)
+            mismatch = jax.tree_util.tree_structure(new_scene) != (
+                jax.tree_util.tree_structure(old)
+            ) or any(
+                getattr(a, "shape", None) != getattr(b, "shape", None)
+                for a, b in zip(jax.tree_util.tree_leaves(new_scene),
+                                jax.tree_util.tree_leaves(old))
+            )
+            if mismatch:
+                print("[env] scene swap changed array shapes — compiled "
+                      "programs will retrace", flush=True)
+            state = state._replace(scene=new_scene)
+        return self.reset_agents(state, mask)
+
     def sensor_observations(self, state: EnvState) -> Dict[str, Array]:
         """Render per-agent sensors (depth/color/semantic) on-device."""
         if not self.visual or not self.sensor_kwargs:

@@ -179,6 +179,42 @@ class ActorCriticPolicy(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape), value
 
 
+class RecurrentActorCriticPolicy(nn.Module):
+    """PPO policy with a GRU trunk shared by the pi/vf heads — the recurrent
+    hook of the reference PPO policy (`CustomMultiInputActorCriticPolicy`,
+    `policies.py:18-343`, recurrent extractor `extractors.py:452-461`),
+    realised sb3-contrib-RecurrentPPO style: the hidden state is carried
+    explicitly by the trainer and zeroed at episode boundaries."""
+
+    action_dim: int = 4
+    hidden_dim: int = 128
+    net_arch: Optional[Dict[str, dict]] = None
+    pi_layers: Sequence[int] = (64,)
+    vf_layers: Sequence[int] = (64,)
+    activation: Any = "relu"
+    layer_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: Dict[str, Array], hidden: Array):
+        feat = MultiInputExtractor(self.net_arch, self.activation,
+                                   self.layer_norm, self.dtype,
+                                   name="extractor")(obs)
+        hidden, _ = nn.GRUCell(features=self.hidden_dim, dtype=self.dtype,
+                               name="gru")(hidden, feat)
+        pi_h = MLP(self.pi_layers, self.activation, self.layer_norm,
+                   dtype=self.dtype, name="mlp_pi")(hidden)
+        vf_h = MLP(self.vf_layers, self.activation, self.layer_norm,
+                   dtype=self.dtype, name="mlp_vf")(hidden)
+        mean = nn.Dense(self.action_dim, dtype=self.dtype, name="mu")(pi_h)
+        log_std = self.param("log_std", nn.initializers.zeros, (self.action_dim,))
+        value = nn.Dense(1, dtype=self.dtype, name="value")(vf_h)[..., 0]
+        return mean, jnp.broadcast_to(log_std, mean.shape), value, hidden
+
+    def initial_hidden(self, batch: int) -> Array:
+        return jnp.zeros((batch, self.hidden_dim), self.dtype)
+
+
 def gaussian_log_prob(mean: Array, log_std: Array, action: Array) -> Array:
     var = jnp.exp(2 * log_std)
     return (

@@ -85,92 +85,26 @@ def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
     )
 
 
-def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
-                *, kb: int, kc: int, n_steps: int, max_depth: float,
-                eps: float, omega: float = 1.0):
-    """Shared tile body: SMEM scalar params, (ROWS, LANES) ray components.
+def _march(sdf, t0, t_ref, hit_ref, *, n_steps: int, max_depth: float,
+           eps: float, omega: float = 1.0):
+    """March loop shared by the static and culled tile bodies.
 
     ``omega > 1`` enables safeguarded over-relaxed marching (Keinert et al.,
     "Enhanced Sphere Tracing"): step ω·d instead of d; when consecutive
     safe spheres stop overlapping (possible surface skip), step back inside
     the last safe sphere and permanently drop that ray to plain stepping.
-    Grazing rays — the ones that need 40 plain steps — converge in far
-    fewer, so n_steps can drop with matching accuracy."""
-    # per-capsule origin-inside masks, computed once before the march
-    cap_excl = []
-    for k in range(kc):
-        ax, ay, az = cap_ref[0, k, 0], cap_ref[0, k, 1], cap_ref[0, k, 2]
-        bx, by, bz = cap_ref[0, k, 3], cap_ref[0, k, 4], cap_ref[0, k, 5]
-        rad = cap_ref[0, k, 6]
-        bax, bay, baz = bx - ax, by - ay, bz - az
-        inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
-        pax, pay, paz = ox - ax, oy - ay, oz - az
-        h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
-        ex, ey, ez = pax - bax * h, pay - bay * h, paz - baz * h
-        d0 = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12)
-        cap_excl.append(d0 <= rad + 0.05)
 
-    def sdf(px, py, pz):
-        dist = jnp.full((ROWS, LANES), BIG, jnp.float32)
-        for k in range(kb):
-            cx, cy, cz = box_ref[0, k, 0], box_ref[0, k, 1], box_ref[0, k, 2]
-            hx, hy, hz = box_ref[0, k, 3], box_ref[0, k, 4], box_ref[0, k, 5]
-            rad = box_ref[0, k, 6]
-            cyaw, syaw = box_ref[0, k, 7], box_ref[0, k, 8]
-            sign = box_ref[0, k, 9]
-            active = box_ref[0, k, 11]  # col 10 is the family flag
-            rx = px - cx
-            ry = py - cy
-            x = cyaw * rx + syaw * ry
-            y = -syaw * rx + cyaw * ry
-            z = pz - cz
-            qx = jnp.abs(x) - hx
-            qy = jnp.abs(y) - hy
-            qz = jnp.abs(z) - hz
-            ox_ = jnp.maximum(qx, 0.0)
-            oy_ = jnp.maximum(qy, 0.0)
-            oz_ = jnp.maximum(qz, 0.0)
-            outside = jnp.sqrt(ox_ * ox_ + oy_ * oy_ + oz_ * oz_ + 1e-12)
-            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-            dk = (outside + inside - rad) * sign
-            dk = jnp.where(active > 0.5, dk, BIG)
-            dist = jnp.minimum(dist, dk)
-        for k in range(kc):
-            ax, ay, az = cap_ref[0, k, 0], cap_ref[0, k, 1], cap_ref[0, k, 2]
-            bx, by, bz = cap_ref[0, k, 3], cap_ref[0, k, 4], cap_ref[0, k, 5]
-            rad = cap_ref[0, k, 6]
-            active = cap_ref[0, k, 7]
-            bax = bx - ax
-            bay = by - ay
-            baz = bz - az
-            inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
-            pax = px - ax
-            pay = py - ay
-            paz = pz - az
-            h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
-            ex = pax - bax * h
-            ey = pay - bay * h
-            ez = paz - baz * h
-            dk = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12) - rad
-            dk = jnp.where(active > 0.5, dk, BIG)
-            # self-exclusion: rays whose ORIGIN lies inside this capsule
-            # ignore it (drones rendering each other must not see their own
-            # body from inside)
-            dk = jnp.where(cap_excl[k], BIG, dk)
-            dist = jnp.minimum(dist, dk)
-        return dist
-
-    # NOTE on rejected variants (measured on v5e, 1M rays, 40 steps,
-    # 14.3 ms baseline): per-step early tile exit via while_loop serialises
-    # Mosaic's pipeline (19.0 ms); chunked exit every 8 steps is neutral
-    # (14.6 ms) because each 16-row image band almost always contains at
-    # least one slow grazing ray, so whole-tile exits rarely fire.
+    NOTE on rejected variants (measured on v5e, 1M rays, 40 steps, 14.3 ms
+    baseline): per-step early tile exit via while_loop serialises Mosaic's
+    pipeline (19.0 ms); chunked exit every 8 steps is neutral (14.6 ms)
+    because each 16-row image band almost always contains at least one slow
+    grazing ray, so whole-tile exits rarely fire."""
     done0 = jnp.zeros((ROWS, LANES), jnp.float32)
     if omega <= 1.0:
 
         def body(_, carry):
             t, done = carry
-            d = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
+            d = sdf(t)
             # done carried as a f32 mask — Mosaic's scf.for lowering rejects
             # vector<i1> loop carries
             done = jnp.maximum(
@@ -188,7 +122,7 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
         def body(_, carry):
             t, done, prev_r, step_len, om = carry
-            r = sdf(ox + dx * t, oy + dy * t, oz + dz * t)
+            r = sdf(t)
             # safeguard: the safe spheres at the two last sample points must
             # overlap, else the over-relaxed step may have skipped a surface
             fail = ((om > 1.0) & (r + prev_r < step_len)).astype(jnp.float32)
@@ -213,9 +147,238 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             (t0, done0, done0, done0, om0),
         )
     # full-precision refinement + lower-bound reporting (matches the XLA path)
-    t = jnp.clip(t + sdf(ox + dx * t, oy + dy * t, oz + dz * t), 0.0, max_depth)
+    t = jnp.clip(t + sdf(t), 0.0, max_depth)
     t_ref[0, 0] = t
     hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
+
+
+def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
+                *, kb: int, kc: int, n_steps: int, max_depth: float,
+                eps: float, omega: float = 1.0, prefix=(0,)):
+    """Shared tile body: SMEM scalar params, (ROWS, LANES) ray components.
+    ``prefix`` adapts to the param block's leading singleton dims —
+    (0,) for per-scene (1, K, cols) blocks, (0, 0) for the per-tile
+    compacted (1, 1, K, cols) blocks."""
+    def B(k, c):
+        return box_ref[(*prefix, k, c)]
+
+    def C(k, c):
+        return cap_ref[(*prefix, k, c)]
+
+    # per-capsule origin-inside masks, computed once before the march
+    cap_excl = []
+    for k in range(kc):
+        ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
+        bx, by, bz = C(k, 3), C(k, 4), C(k, 5)
+        rad = C(k, 6)
+        bax, bay, baz = bx - ax, by - ay, bz - az
+        inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
+        pax, pay, paz = ox - ax, oy - ay, oz - az
+        h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
+        ex, ey, ez = pax - bax * h, pay - bay * h, paz - baz * h
+        d0 = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12)
+        cap_excl.append(d0 <= rad + 0.05)
+
+    def sdf(px, py, pz):
+        dist = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        for k in range(kb):
+            cx, cy, cz = B(k, 0), B(k, 1), B(k, 2)
+            hx, hy, hz = B(k, 3), B(k, 4), B(k, 5)
+            rad = B(k, 6)
+            cyaw, syaw = B(k, 7), B(k, 8)
+            sign = B(k, 9)
+            active = B(k, 11)  # col 10 is the family flag
+            rx = px - cx
+            ry = py - cy
+            x = cyaw * rx + syaw * ry
+            y = -syaw * rx + cyaw * ry
+            z = pz - cz
+            qx = jnp.abs(x) - hx
+            qy = jnp.abs(y) - hy
+            qz = jnp.abs(z) - hz
+            ox_ = jnp.maximum(qx, 0.0)
+            oy_ = jnp.maximum(qy, 0.0)
+            oz_ = jnp.maximum(qz, 0.0)
+            outside = jnp.sqrt(ox_ * ox_ + oy_ * oy_ + oz_ * oz_ + 1e-12)
+            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+            dk = (outside + inside - rad) * sign
+            dk = jnp.where(active > 0.5, dk, BIG)
+            dist = jnp.minimum(dist, dk)
+        for k in range(kc):
+            ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
+            bx, by, bz = C(k, 3), C(k, 4), C(k, 5)
+            rad = C(k, 6)
+            active = C(k, 7)
+            bax = bx - ax
+            bay = by - ay
+            baz = bz - az
+            inv_denom = 1.0 / (bax * bax + bay * bay + baz * baz + 1e-9)
+            pax = px - ax
+            pay = py - ay
+            paz = pz - az
+            h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
+            ex = pax - bax * h
+            ey = pay - bay * h
+            ez = paz - baz * h
+            dk = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12) - rad
+            dk = jnp.where(active > 0.5, dk, BIG)
+            # self-exclusion: rays whose ORIGIN lies inside this capsule
+            # ignore it (drones rendering each other must not see their own
+            # body from inside)
+            dk = jnp.where(cap_excl[k], BIG, dk)
+            dist = jnp.minimum(dist, dk)
+        return dist
+
+    _march(lambda t: sdf(ox + dx * t, oy + dy * t, oz + dz * t),
+           t0, t_ref, hit_ref, n_steps=n_steps, max_depth=max_depth,
+           eps=eps, omega=omega)
+
+
+def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
+                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                         t0_ref, t_ref, hit_ref,
+                         *, kb: int, kc: int, kb_c: int, kc_c: int,
+                         n_steps: int, max_depth: float, eps: float,
+                         omega: float = 1.0):
+    """Per-tile-culled tile, dual static path.
+
+    :func:`cull_compact` packs the primitives whose bounds intersect THIS
+    tile's ray cone to the front of a reduced (kb_c, kc_c) param block. When
+    the tile's active counts fit (the common case — in the bench garage a
+    tile sees ~2.4 of 8 box rows and ~4.3 of 12 capsule rows), the march
+    runs a STATICALLY UNROLLED loop over just those rows; overflow tiles
+    fall back to the full unrolled primitive set. Both paths are pure
+    straight-line FMA chains with hoisted scalar loads — a dynamic
+    (scf-while) primitive loop was measured 4× more expensive per row than
+    an unrolled one (v5e: 3.13 vs 0.77 ms/row at 1M rays × 40 steps), which
+    made true dynamic trip counts a net loss. The habitat renderer gets the
+    same effect from frustum culling (`SceneManager.py:371-389`)."""
+    # counts arrive as the WHOLE (S, T) array in SMEM (Mosaic rejects (1, 1)
+    # blocks); index by grid position
+    s, i = pl.program_id(0), pl.program_id(1)
+    fits = (nb_ref[s, i] <= kb_c) & (nc_ref[s, i] <= kc_c)
+
+    args = (ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
+            dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
+            t0_ref[0, 0], t_ref, hit_ref)
+
+    @pl.when(fits)
+    def _fast():
+        _trace_tile(boxc_ref, capc_ref, *args,
+                    kb=kb_c, kc=kc_c, n_steps=n_steps, max_depth=max_depth,
+                    eps=eps, omega=omega, prefix=(0, 0))
+
+    @pl.when(jnp.logical_not(fits))
+    def _full():
+        _trace_tile(box_ref, cap_ref, *args,
+                    kb=kb, kc=kc, n_steps=n_steps, max_depth=max_depth,
+                    eps=eps, omega=omega)
+
+
+def cull_compact(kscene: KernelScene, origins_c: Array, dirs_c: Array,
+                 max_depth: float, kb_c: Optional[int] = None,
+                 kc_c: Optional[int] = None, img_w: Optional[int] = None):
+    """Per-tile primitive culling prepass (XLA, gather-free).
+
+    For every 1024-ray tile, bound the reachable region by interval
+    arithmetic — origin AABB + [0, max_depth]·direction AABB — and test each
+    primitive's conservative world AABB against it. Compaction to the front
+    of the K axis is a one-hot matmul (MXU), NOT a gather (TPU gathers run
+    ~1e8 elem/s — a gather here would cost more than the culling saves).
+    Only the first ``kb_c``/``kc_c`` compacted rows are materialised — the
+    kernel's fast path capacity; tiles with more actives use the full set.
+
+    Returns (boxes (S,T,kb_c,12), n_boxes (S,T) i32,
+             capsules (S,T,kc_c,8), n_caps (S,T) i32)."""
+    boxes, caps = kscene.boxes, kscene.capsules
+    S, KB = boxes.shape[0], boxes.shape[1]
+    KC = caps.shape[1]
+    kb_c = KB if kb_c is None else min(kb_c, KB)
+    kc_c = KC if kc_c is None else min(kc_c, KC)
+    R = origins_c.shape[2]
+    T = R // TILE
+
+    o = origins_c.reshape(3, S, T, TILE)
+    d = dirs_c.reshape(3, S, T, TILE)
+    lo = (o.min(-1) + max_depth * jnp.minimum(d.min(-1), 0.0))  # (3, S, T)
+    hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0))
+    lo = lo.transpose(1, 2, 0)  # (S, T, 3)
+    hi = hi.transpose(1, 2, 0)
+
+    # conservative box AABBs: |R(yaw)|·half + rounding radius
+    c = boxes[..., 0:3]
+    h = boxes[..., 3:6]
+    rad = boxes[..., 6]
+    acy, asy = jnp.abs(boxes[..., 7]), jnp.abs(boxes[..., 8])
+    hw = jnp.stack([acy * h[..., 0] + asy * h[..., 1],
+                    asy * h[..., 0] + acy * h[..., 1],
+                    h[..., 2]], -1) + rad[..., None]
+    blo, bhi = c - hw, c + hw  # (S, KB, 3)
+    ov_b = jnp.all((lo[:, :, None] <= bhi[:, None]) &
+                   (hi[:, :, None] >= blo[:, None]), -1)  # (S, T, KB)
+    # negative-sign (hollow room) boxes enclose the rays — always active
+    active_b = (ov_b | (boxes[..., 9] < 0.0)[:, None]) & (
+        boxes[..., 11] > 0.5
+    )[:, None]
+
+    a = caps[..., 0:3]
+    b = caps[..., 3:6]
+    clo = jnp.minimum(a, b) - caps[..., 6:7]
+    chi = jnp.maximum(a, b) + caps[..., 6:7]
+    ov_c = jnp.all((lo[:, :, None] <= chi[:, None]) &
+                   (hi[:, :, None] >= clo[:, None]), -1)
+    active_c = ov_c & (caps[..., 7] > 0.5)[:, None]  # (S, T, KC)
+
+    if img_w is not None and TILE % img_w == 0:
+        # tiles are contiguous row-blocks of ONE pinhole camera: the exact
+        # wedge is the convex cone of the 4 corner rays — frustum-plane
+        # tests cut far more than the direction-interval AABB (the AABB of
+        # a 90°×22° wedge is mostly slop)
+        dt4 = dirs_c.reshape(3, S, T, TILE)
+        corners = jnp.stack([
+            dt4[..., 0], dt4[..., img_w - 1],
+            dt4[..., TILE - 1], dt4[..., TILE - img_w],
+        ], axis=-1).transpose(1, 2, 3, 0)  # (S, T, 4corner, 3) cyclic order
+        nxt = jnp.roll(corners, -1, axis=2)
+        planes = jnp.cross(corners, nxt)  # (S, T, 4, 3) apex-through planes
+        centre = corners.sum(axis=2, keepdims=True)
+        sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
+        planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
+        apex = origins_c.reshape(3, S, T, TILE)[..., 0].transpose(1, 2, 0)
+
+        plane_norm1 = jnp.abs(planes)  # |n| per component, (S, T, 4, 3)
+        # boxes: r_eff = Σ|n|·half_world (n is unnormalised — consistent
+        # with the unnormalised plane distances)
+        r_box = jnp.einsum("stpc,skc->stpk", plane_norm1, hw)
+        vis_b = jnp.all(
+            jnp.sum(planes[:, :, :, None]
+                    * (c[:, None, None] - apex[:, :, None, None]), -1)
+            + r_box >= 0.0, axis=2)
+        active_b = active_b & (vis_b | (boxes[..., 9] < 0.0)[:, None])
+        # capsules: segment test — either endpoint side counts, inflated by r
+        nmag = jnp.linalg.norm(planes, axis=-1)  # (S, T, 4)
+        d_a = jnp.sum(planes[:, :, :, None]
+                      * (a[:, None, None] - apex[:, :, None, None]), -1)
+        d_b = jnp.sum(planes[:, :, :, None]
+                      * (b[:, None, None] - apex[:, :, None, None]), -1)
+        r_cap = caps[..., 6][:, None, None] * nmag[..., None]
+        vis_c = jnp.all(jnp.maximum(d_a, d_b) + r_cap >= 0.0, axis=2)
+        active_c = active_c & vis_c
+
+    def compact(params, active, K, k_c):
+        # stable order: active rows first — argsort then ONE-HOT MATMUL
+        order = jnp.argsort(1 - active.astype(jnp.int32), axis=-1,
+                            stable=True)  # (S, T, K)
+        onehot = (order[:, :, :k_c, None] == jnp.arange(K)).astype(
+            params.dtype
+        )
+        out = jnp.einsum("stik,skc->stic", onehot, params,
+                         preferred_element_type=params.dtype)
+        return out, active.sum(-1).astype(jnp.int32)
+
+    boxes_t, nb = compact(boxes, active_b, KB, kb_c)
+    caps_t, nc = compact(caps, active_c, KC, kc_c)
+    return boxes_t, nb, caps_t, nc
 
 
 def pallas_trace(
@@ -316,10 +479,15 @@ def pallas_trace_c(
     max_depth: float = 20.0,
     eps: float = 0.01,
     omega: float = 1.0,
+    cull: bool = True,
+    img_w: Optional[int] = None,
+    kb_c: Optional[int] = None,
+    kc_c: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """Component-major entry: no trailing-dim-3 arrays and no transposes —
     each component slices out of (3, S, R) and reshapes (minor dims intact)
-    into (S, tiles, ROWS, LANES) blocks."""
+    into (S, tiles, ROWS, LANES) blocks. ``cull=True`` (default) runs the
+    per-tile primitive-culling prepass and the dynamic-loop kernel."""
     _, S, R = origins_c.shape
     if R % TILE:
         raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
@@ -336,16 +504,58 @@ def pallas_trace_c(
         else t_init.reshape(S, tiles, ROWS, LANES)
     )
 
-    kernel = functools.partial(
-        _trace_kernel_c, kb=kb, kc=kc, n_steps=n_steps,
-        max_depth=max_depth, eps=eps, omega=omega,
-    )
     ray_spec = pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
     ]
+    rays = (
+        comp(origins_c, 0), comp(origins_c, 1), comp(origins_c, 2),
+        comp(dirs_c, 0), comp(dirs_c, 1), comp(dirs_c, 2),
+        t0,
+    )
+
+    if cull:
+        # fast-path capacities: half the rows, floored at 4 (measured sweet
+        # spot on the bench garage: (4, 6) of (8, 12))
+        kb_c = min(kb, max(4, kb // 2)) if kb_c is None else min(kb_c, kb)
+        kc_c = min(kc, max(4, kc // 2)) if kc_c is None else min(kc_c, kc)
+        sg = jax.lax.stop_gradient
+        boxc, nb, capc, nc = cull_compact(kscene, sg(origins_c), sg(dirs_c),
+                                          max_depth, kb_c=kb_c, kc_c=kc_c,
+                                          img_w=img_w)
+        kernel = functools.partial(
+            _trace_kernel_culled, kb=kb, kc=kc, kb_c=kb_c, kc_c=kc_c,
+            n_steps=n_steps, max_depth=max_depth, eps=eps, omega=omega,
+        )
+        t, hit = pl.pallas_call(
+            kernel,
+            grid=(S, tiles),
+            in_specs=[
+                pl.BlockSpec((1, kb, 12), lambda s, i: (s, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kc, 8), lambda s, i: (s, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, kb_c, 12), lambda s, i: (s, i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (S, T) counts
+                pl.BlockSpec((1, 1, kc_c, 8), lambda s, i: (s, i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec, ray_spec,
+                ray_spec,
+            ],
+            out_specs=[ray_spec, ray_spec],
+            out_shape=out_shape,
+        )(kscene.boxes, kscene.capsules, boxc, nb, capc, nc, *rays)
+        return t.reshape(S, R), hit.reshape(S, R) > 0.5
+
+    kernel = functools.partial(
+        _trace_kernel_c, kb=kb, kc=kc, n_steps=n_steps,
+        max_depth=max_depth, eps=eps, omega=omega,
+    )
     t, hit = pl.pallas_call(
         kernel,
         grid=(S, tiles),
@@ -360,29 +570,25 @@ def pallas_trace_c(
         ],
         out_specs=[ray_spec, ray_spec],
         out_shape=out_shape,
-    )(
-        kscene.boxes, kscene.capsules,
-        comp(origins_c, 0), comp(origins_c, 1), comp(origins_c, 2),
-        comp(dirs_c, 0), comp(dirs_c, 1), comp(dirs_c, 2),
-        t0,
-    )
+    )(kscene.boxes, kscene.capsules, *rays)
     return t.reshape(S, R), hit.reshape(S, R) > 0.5
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def pallas_trace_diff_c(kscene, origins_c, dirs_c, t_init, n_steps=40,
-                        max_depth=20.0, omega=1.0):
+                        max_depth=20.0, omega=1.0, cull=True, img_w=None):
     return pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                          max_depth, omega=omega)
+                          max_depth, omega=omega, cull=cull, img_w=img_w)
 
 
-def _ptdc_fwd(kscene, origins_c, dirs_c, t_init, n_steps, max_depth, omega):
+def _ptdc_fwd(kscene, origins_c, dirs_c, t_init, n_steps, max_depth, omega,
+              cull, img_w):
     t, hit = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                            max_depth, omega=omega)
+                            max_depth, omega=omega, cull=cull, img_w=img_w)
     return (t, hit), (kscene, origins_c, dirs_c, t, hit)
 
 
-def _ptdc_bwd(n_steps, max_depth, omega, residuals, cotangents):
+def _ptdc_bwd(n_steps, max_depth, omega, cull, img_w, residuals, cotangents):
     kscene, origins_c, dirs_c, t, hit = residuals
     g_t, _g_hit = cotangents
     # backward pass converts to (S, R, 3) once — acceptable off the hot path

@@ -318,6 +318,10 @@ def render_camera(
                 kscene, o_full, d_full, t0,
                 int(spec.get("trace_steps_override", n_steps)), max_depth,
                 float(spec.get("march_omega", 1.0)),
+                bool(spec.get("cull", True)),
+                # frustum-plane culling only when a kernel tile never spans
+                # two cameras (exact wedge needs a single apex)
+                W if (H * W) % 1024 == 0 else None,
             )
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
@@ -443,14 +447,17 @@ def render_camera(
 
 def render_sensors(env, state) -> Dict[str, Array]:
     """Render every sensor in ``env.sensor_kwargs`` (the per-agent sensor
-    suite of `SceneManager.py:1013-1035`)."""
+    suite of `SceneManager.py:1013-1035`), applying each sensor's configured
+    noise model (`SceneManager.py:1030-1033` hookup) under the per-step
+    PRNG."""
     if env.scene is None:
         return {}
     scene = env._scene_of(state) if hasattr(env, "_scene_of") else env.scene
     out: Dict[str, Array] = {}
     sid = env._scene_ids()
     objects = env.render_objects(state)
-    for spec in env.sensor_kwargs:
+    noise_settings = getattr(env, "noise_settings", None) or {}
+    for i, spec in enumerate(env.sensor_kwargs):
         res = render_camera(
             scene,
             sid,
@@ -462,5 +469,11 @@ def render_sensors(env, state) -> Dict[str, Array]:
             num_scene=env.num_scene,
         )
         for k, v in res.items():
-            out[spec.get("uuid", k)] = v
+            uuid = spec.get("uuid", k)
+            if uuid in noise_settings and uuid != "IMU":
+                from .noise import apply_noise
+
+                key = jax.random.fold_in(state.key, 1000 + i)
+                v = apply_noise(key, uuid, v, noise_settings)
+            out[uuid] = v
     return out

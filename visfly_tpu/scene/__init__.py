@@ -13,6 +13,7 @@ from .scene import (
     best_candidate_points,
     load_scenes_for_env,
     make_scene,
+    swap_scene_for_env,
     resolve_scene_path,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "bake_scenes",
     "best_candidate_points",
     "load_scenes_for_env",
+    "swap_scene_for_env",
     "resolve_scene_path",
     "sample_sdf",
     "sample_sdf_nearest",

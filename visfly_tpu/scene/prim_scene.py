@@ -42,9 +42,11 @@ from .scene import SceneSpec
 BIG = 1e9
 
 
-def _family_split(params: np.ndarray) -> tuple:
+def _family_split(params: np.ndarray, min_kb: int = 0, min_kc: int = 0) -> tuple:
     """Split packed (S, K, 12) rows into box/capsule arrays for the kernel,
-    padding counts up to multiples of 4 (shape-stable across rotations)."""
+    padding counts up to multiples of 4 (shape-stable across rotations).
+    ``min_kb``/``min_kc`` floor the padded sizes so a per-scene swap
+    (reset_env_by_id) keeps the shapes of an existing compiled program."""
     S = params.shape[0]
     boxes_per, caps_per = [], []
     for s in range(S):
@@ -63,8 +65,8 @@ def _family_split(params: np.ndarray) -> tuple:
     def pad4(n):
         return max(4, -(-n // 4) * 4)
 
-    kb = pad4(max(len(b) for b in boxes_per))
-    kc = pad4(max(len(c) for c in caps_per))
+    kb = pad4(max(max(len(b) for b in boxes_per), min_kb))
+    kc = pad4(max(max(len(c) for c in caps_per), min_kc))
     boxes = np.zeros((S, kb, 12), np.float32)
     capsules = np.zeros((S, kc, 8), np.float32)
     for s in range(S):
@@ -158,8 +160,11 @@ def _rows_for_primitive(pr: dict) -> List[np.ndarray]:
     return rows
 
 
-def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01) -> PrimitiveScene:
-    """SceneSpec list → PrimitiveScene (scenes padded to a common K)."""
+def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01,
+                min_k: int = 0, min_kb: int = 0,
+                min_kc: int = 0) -> PrimitiveScene:
+    """SceneSpec list → PrimitiveScene (scenes padded to a common K; the
+    ``min_*`` floors keep shapes stable across per-scene swaps)."""
     all_rows, all_colors, all_sems = [], [], []
     for spec in specs:
         rows, colors, sems = [], [], []
@@ -175,7 +180,7 @@ def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01) -> PrimitiveScene
         all_colors.append(np.stack(colors))
         all_sems.append(np.asarray(sems, np.int32))
 
-    K = max(r.shape[0] for r in all_rows)
+    K = max(max(r.shape[0] for r in all_rows), min_k)
     S = len(specs)
     params = np.zeros((S, K, 12), np.float32)
     colors = np.zeros((S, K, 3), np.float32)
@@ -187,7 +192,7 @@ def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01) -> PrimitiveScene
 
     lo = np.min([s.bounds_min for s in specs], axis=0)
     hi = np.max([s.bounds_max for s in specs], axis=0)
-    boxes, capsules = _family_split(params)
+    boxes, capsules = _family_split(params, min_kb=min_kb, min_kc=min_kc)
     return PrimitiveScene(
         params=jnp.asarray(params),
         colors=jnp.asarray(colors),

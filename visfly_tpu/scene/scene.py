@@ -433,6 +433,38 @@ def load_scenes_for_env(env):
     path = kw.get("path", "box15_wall_empty")
     seed = kw.get("seed", env.seed)
 
+    # imported mesh file (GLB/OBJ — the reference's habitat GLB stages,
+    # `SceneManager.py:893-929`): by default decompose the baked SDF into
+    # boxes so imported scenes run on the fast culled primitive kernel;
+    # backend="grid" opts into the exact (but gather-bound) trilinear path
+    if (isinstance(path, str) and os.path.isfile(path)
+            and path.lower().endswith((".glb", ".gltf", ".obj"))):
+        if kw.get("backend", "primitive") == "grid":
+            from .mesh import bake_mesh_scene
+
+            data = bake_mesh_scene(path, spacing=kw.get("sdf_spacing", 0.1),
+                                   margin=kw.get("margin", 0.5))
+            if env.num_scene > 1:
+                import jax.numpy as jnp
+
+                data = data._replace(
+                    sdf=jnp.tile(data.sdf, (env.num_scene, 1, 1, 1)),
+                    albedo=jnp.tile(data.albedo, (env.num_scene, 1, 1, 1, 1)),
+                    semantic=jnp.tile(data.semantic, (env.num_scene, 1, 1, 1)),
+                )
+            return data
+        from .decompose import decompose_mesh_scene
+
+        spec = decompose_mesh_scene(
+            path, spacing=kw.get("sdf_spacing", 0.1),
+            margin=kw.get("margin", 0.5),
+            max_prims=kw.get("max_prims", 48),
+            min_cover=kw.get("min_cover", 0.98),
+        )
+        specs = [spec] * env.num_scene
+        env._scene_specs = specs
+        return _build_scene(env, specs)
+
     # dataset directory of scene JSONs → round-robin loader (the reference's
     # SimpleDataLoader scene iteration, `SceneManager.py:826-891`)
     if os.path.isdir(path):
@@ -450,6 +482,12 @@ def load_scenes_for_env(env):
             make_scene(preset, seed=seed + i, **kw.get("scene_gen_kwargs", {}))
             for i in range(env.num_scene)
         ]
+    env._scene_specs = specs  # retained for per-scene swaps (reset_env_by_id)
+    return _build_scene(env, specs)
+
+
+def _build_scene(env, specs):
+    kw = dict(env.scene_kwargs)
     if kw.get("backend", "primitive") == "grid":
         return bake_scenes(
             specs,
@@ -458,4 +496,36 @@ def load_scenes_for_env(env):
         )
     from .prim_scene import pack_scenes
 
-    return pack_scenes(specs)
+    old = getattr(env, "scene", None)
+    floors = {}
+    if old is not None and hasattr(old, "params"):
+        # keep the compiled program's shapes across swaps
+        floors = dict(min_k=old.params.shape[1], min_kb=old.boxes.shape[1],
+                      min_kc=old.capsules.shape[1])
+    return pack_scenes(specs, **floors)
+
+
+def swap_scene_for_env(env, scene_id: int):
+    """Regenerate ONE scene's assets and rebuild the packed scene pytree —
+    the asset half of the reference's per-scene ``reset_env_by_id``
+    (`droneGymEnv.py:329-337`: swaps a single habitat scene). Other scenes'
+    specs are unchanged, so their packed rows are bit-identical; shape
+    floors keep the result compatible with already-compiled programs."""
+    import os
+
+    kw = dict(env.scene_kwargs)
+    path = kw.get("path", "box15_wall_empty")
+    if os.path.isdir(path):
+        spec = load_scene_spec(env._scene_loader.next(1)[0])
+    else:
+        env._scene_swap_count = getattr(env, "_scene_swap_count", 0) + 1
+        seed = (kw.get("seed", env.seed) + env.num_scene * 1000
+                + env._scene_swap_count)
+        spec = make_scene(resolve_scene_path(path), seed=seed,
+                          **kw.get("scene_gen_kwargs", {}))
+    specs = list(env._scene_specs)
+    specs[scene_id] = spec
+    env._scene_specs = specs
+    scene = _build_scene(env, specs)
+    env.scene = scene
+    return scene
