@@ -309,14 +309,17 @@ def trace_grouped(
     t_init: Optional[Array] = None,  # (S, R) warm-start distances
     compute_dtype=jnp.bfloat16,
     mode: str = "march",  # "analytic" → closed-form t₀ + short refine
-    refine_steps: int = 2,
+    refine_steps: int = 0,
 ) -> Tuple[Array, Array]:
     eps = scene.eps
     analytic = mode == "analytic"
     if analytic:
-        # exact candidates replace the march; the residual refine handles
-        # general rounded boxes (lower-bound candidates) and runs in f32 —
-        # at 2 steps its cost is negligible
+        # exact candidates replace the march; refine_steps=0 is exact for
+        # every preset primitive (verified bitwise vs refine_steps=2) and
+        # saves one culled-SDF eval per step per refine. Scenes hand-built
+        # with GENERAL rounded boxes (he>0 AND radius>0 — `pack_scenes`
+        # warns) need refine_steps≥4 to converge their lower-bound slab
+        # candidates; `_march` always appends one final residual eval.
         n_steps = refine_steps
         compute_dtype = jnp.float32
 
@@ -486,7 +489,7 @@ def render_camera(
                 # two cameras (exact wedge needs a single apex)
                 W if (H * W) % 1024 == 0 else None,
                 trace_mode == "analytic",
-                int(spec.get("analytic_refine", 2)),
+                int(spec.get("analytic_refine", 0)),
             )
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
@@ -568,7 +571,7 @@ def render_camera(
                                    compute_dtype=compute_dtype,
                                    mode=trace_mode,
                                    refine_steps=int(
-                                       spec.get("analytic_refine", 2)))
+                                       spec.get("analytic_refine", 0)))
         t_flat = t.reshape(n, H, W)
         hit_flat = hit.reshape(n, H, W)
         if stype == "depth":

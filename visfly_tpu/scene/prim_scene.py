@@ -180,6 +180,19 @@ def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01,
         all_colors.append(np.stack(colors))
         all_sems.append(np.asarray(sems, np.int32))
 
+    for rows_i in all_rows:
+        rounded = ((rows_i[:, 10] < 0.5) & (rows_i[:, 9] > 0)
+                   & (rows_i[:, 6] > 1e-6) & (rows_i[:, 3:6].sum(-1) > 1e-6))
+        if rounded.any():
+            import warnings
+
+            warnings.warn(
+                "scene contains a GENERAL rounded box (half_extents>0 AND "
+                "radius>0): the default analytic tracer's candidate for it "
+                "is a lower bound — set sensor_kwargs analytic_refine>=4 "
+                "(or trace_mode='march') for accurate depth on it.",
+                stacklevel=2)
+
     K = max(max(r.shape[0] for r in all_rows), min_k)
     S = len(specs)
     params = np.zeros((S, K, 12), np.float32)

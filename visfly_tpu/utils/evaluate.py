@@ -98,6 +98,10 @@ class TestBase:
 
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
+
+            from .figfashion import FigFon
+
+            FigFon.set_fashion("IEEE")  # reference `evaluate.py:15`
         except Exception:
             return None
         pos = arrays["position"]  # (T, N, 3)

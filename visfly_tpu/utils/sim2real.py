@@ -103,6 +103,10 @@ def align(
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
+            from .figfashion import FigFon, colorsets
+
+            FigFon.set_fashion("IEEE")
+            _ = colorsets["Modern Scientific"]  # reference PID_alignment.py:27
             fig, axes = plt.subplots(3, 1, figsize=(9, 7), sharex=True)
             labels = "xyz"
             for i, ax in enumerate(axes):
