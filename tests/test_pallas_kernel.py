@@ -285,18 +285,21 @@ def test_analytic_matches_ground_truth(preset):
             preset, i, t_an[i], t_true)
 
 
-def test_analytic_kernel_matches_xla(interpret_pallas, scene):
-    """Pallas analytic tile (both cull paths) ≡ the XLA analytic tracer."""
+@pytest.mark.parametrize("n_refine", [0, 2])
+def test_analytic_kernel_matches_xla(interpret_pallas, scene, n_refine):
+    """Pallas analytic tile (both cull paths, with and without the residual
+    refine+final eval) ≡ the XLA analytic tracer."""
     from visfly_tpu.render.pallas_trace import pallas_trace_c
 
     o, d = rays(2 * TILE)
-    t_x, hit_x = trace_grouped(scene, o, d, mode="analytic")
+    t_x, hit_x = trace_grouped(scene, o, d, mode="analytic",
+                               refine_steps=n_refine)
     ks = prepare_kernel_scene(scene)
     oc = jnp.transpose(o, (2, 0, 1))
     dc = jnp.transpose(d, (2, 0, 1))
     for cull in (False, True):
         t_k, hit_k = pallas_trace_c(ks, oc, dc, None, analytic=True,
-                                    cull=cull)
+                                    n_refine=n_refine, cull=cull)
         np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_k))
         np.testing.assert_allclose(np.asarray(t_x), np.asarray(t_k),
                                    atol=1e-3)

@@ -90,7 +90,7 @@ def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
 
 
 def _march(sdf, t0, t_ref, hit_ref, *, n_steps: int, max_depth: float,
-           eps: float, omega: float = 1.0):
+           eps: float, omega: float = 1.0, final_eval: bool = True):
     """March loop shared by the static and culled tile bodies.
 
     ``omega > 1`` enables safeguarded over-relaxed marching (Keinert et al.,
@@ -150,8 +150,15 @@ def _march(sdf, t0, t_ref, hit_ref, *, n_steps: int, max_depth: float,
             0, n_steps, body,
             (t0, done0, done0, done0, om0),
         )
-    # full-precision refinement + lower-bound reporting (matches the XLA path)
-    t = jnp.clip(t + sdf(t), 0.0, max_depth)
+    # full-precision refinement + lower-bound reporting (matches the XLA
+    # path). Skipped on the pure-analytic path (final_eval=False): exact
+    # candidates make the residual identically ~0, and gradients come from
+    # the IFT custom VJP, not the kernel internals — saves one full culled
+    # SDF eval per ray (~20% of the analytic kernel).
+    if final_eval:
+        t = jnp.clip(t + sdf(t), 0.0, max_depth)
+    else:
+        t = jnp.clip(t, 0.0, max_depth)
     t_ref[0, 0] = t
     hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
 
@@ -331,7 +338,8 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
     _march(lambda t: sdf(ox + dx * t, oy + dy * t, oz + dz * t),
            t0, t_ref, hit_ref, n_steps=n_steps, max_depth=max_depth,
-           eps=eps, omega=omega)
+           eps=eps, omega=omega,
+           final_eval=not (analytic and n_refine == 0))
 
 
 def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
