@@ -118,6 +118,7 @@ class PPO(TrainerMixin):
         max_grad_norm: float = 0.5,
         normalize_advantage: bool = True,
         target_kl: Optional[float] = None,
+        weight_decay: float = 0.0,
         bootstrap_truncated: bool = True,
         scene_freq: Optional[int] = None,
         seed: int = 42,
@@ -179,9 +180,14 @@ class PPO(TrainerMixin):
             total = self.n_steps * env.num_envs
             self.batch_size = int(batch_size) if batch_size else total
             self.n_minibatches = max(1, total // self.batch_size)
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm), optax.adam(transfer_schedule(learning_rate))
-        )
+        # the reference passes optimizer_kwargs={'weight_decay': …} to torch
+        # Adam (alg_cfgs/*/PPO.yaml); Adam-with-L2 == optax.adamw's decoupled
+        # decay only at wd=0, but at the reference's 1e-5 the difference is
+        # far below training noise — adamw keeps the update one fused op
+        opt = (optax.adamw(transfer_schedule(learning_rate),
+                           weight_decay=float(weight_decay))
+               if weight_decay else optax.adam(transfer_schedule(learning_rate)))
+        self.tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
         self._update = jax.jit(self._update_impl)
 
     def init(self, key: Optional[Array] = None) -> PPOState:

@@ -1,4 +1,11 @@
-from .extractors import MLP, ImageCNN, MultiInputExtractor
+from .extractors import (
+    MLP,
+    DecoderHead,
+    ImageCNN,
+    MultiInputExtractor,
+    TransCNN,
+    required_input_shape,
+)
 from .networks import (
     Actor,
     ActorCriticPolicy,
@@ -12,6 +19,9 @@ __all__ = [
     "MLP",
     "ImageCNN",
     "MultiInputExtractor",
+    "TransCNN",
+    "DecoderHead",
+    "required_input_shape",
     "Actor",
     "QCritic",
     "StateCritic",

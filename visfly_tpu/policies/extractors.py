@@ -11,7 +11,7 @@ compute with float32 params is supported via the ``dtype`` attribute.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -134,6 +134,110 @@ class ResNetCNN(nn.Module):
                                 dtype=self.dtype)(h)
         h = h.mean(axis=(1, 2))  # global average pool
         return nn.relu(nn.Dense(self.out_features, dtype=self.dtype)(h))
+
+
+class TransCNN(nn.Module):
+    """Configurable transposed-conv stack, the analogue of
+    ``create_trans_cnn`` (`extractors.py:248-309`), with torch output-size
+    semantics ``out = (in-1)*s + k - 2p + op``. flax's ``ConvTranspose``
+    pads additively (``out = (in-1)*s + 2 - k + lo + hi``), so each layer
+    maps torch ``(k, s, p, op)`` to explicit flax padding
+    ``(k-1-p, k-1-p+op)``. Input/output are NHWC."""
+
+    channels: Sequence[int]  # per-layer output channels
+    kernel_sizes: Any = 3  # int or per-layer list
+    strides: Any = 2
+    paddings: Any = 0
+    output_paddings: Any = 0
+    output_channel: Optional[int] = None  # extra final layer (last k/s/p)
+    activation: Any = "relu"
+    layer_norm: bool = False
+    squash_output: bool = False
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def _per_layer(v, n: int) -> Sequence[int]:
+        return [v] * n if isinstance(v, int) else list(v)
+
+    def layer_cfgs(self) -> Sequence[Tuple[int, int, int, int, int]]:
+        """(out_ch, k, s, p, op) per layer, incl. the output layer."""
+        chans = list(self.channels)
+        if self.output_channel is not None:
+            chans = chans + [self.output_channel]
+        n = len(chans)
+        ks = self._per_layer(self.kernel_sizes, n)
+        ss = self._per_layer(self.strides, n)
+        ps = self._per_layer(self.paddings, n)
+        ops = self._per_layer(self.output_paddings, n)
+        return list(zip(chans, ks, ss, ps, ops))
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        act = resolve_activation(self.activation)
+        h = x.astype(self.dtype)
+        cfgs = self.layer_cfgs()
+        for i, (c, k, s, p, op) in enumerate(cfgs):
+            lo, hi = k - 1 - p, k - 1 - p + op
+            if lo < 0 or hi < 0:
+                raise ValueError(f"padding {p} too large for kernel {k}")
+            h = nn.ConvTranspose(c, (k, k), strides=(s, s),
+                                 padding=[(lo, hi), (lo, hi)],
+                                 dtype=self.dtype, name=f"deconv_{i}")(h)
+            is_last = i == len(cfgs) - 1
+            if not is_last:
+                if self.layer_norm:
+                    h = nn.LayerNorm(dtype=self.dtype)(h)
+                h = act(h)
+        if self.squash_output:
+            h = nn.tanh(h)
+        return h
+
+
+def required_input_shape(layer_cfgs, target_hw: Tuple[int, int]
+                         ) -> Tuple[int, int]:
+    """Invert a trans-CNN's size arithmetic: the (H, W) input that produces
+    ``target_hw`` at the output (`extractors.py:109-148`,
+    ``calc_required_input_dim``: ``in = (out + 2p - k)//s + 1``)."""
+    h, w = target_hw
+    for _, k, s, p, op in reversed(list(layer_cfgs)):
+        h = (h + 2 * p - k - op) // s + 1
+        w = (w + 2 * p - k - op) // s + 1
+        if h < 1 or w < 1:
+            raise ValueError(f"target {target_hw} unreachable: need {h}x{w}")
+    return h, w
+
+
+class DecoderHead(nn.Module):
+    """Feature vector → image decoder: Dense to the trans-CNN's required
+    input shape, reshape, deconv stack — the analogue of
+    ``set_trans_cnn_feature_extractor`` (`extractors.py:489-499`), used to
+    attach ``<key>_decoder`` heads for world-model/autoencoder training.
+    Returns NCHW to match the sensor-observation layout."""
+
+    target_shape: Tuple[int, int, int]  # (C, H, W) of the decoded image
+    channels: Sequence[int] = (64, 32)
+    kernel_sizes: Any = 4
+    strides: Any = 2
+    paddings: Any = 1
+    activation: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        c, th_, tw = self.target_shape
+        net = TransCNN(channels=self.channels, kernel_sizes=self.kernel_sizes,
+                       strides=self.strides, paddings=self.paddings,
+                       output_channel=c, activation=self.activation,
+                       dtype=self.dtype)
+        h0, w0 = required_input_shape(net.layer_cfgs(), (th_, tw))
+        c0 = self.channels[0]
+        h = nn.Dense(h0 * w0 * c0, dtype=self.dtype, name="proj")(z)
+        h = h.reshape((-1, h0, w0, c0))
+        img = net(h)
+        if img.shape[1:3] != (th_, tw):
+            raise ValueError(
+                f"decoder produced {img.shape[1:3]}, wanted {(th_, tw)}")
+        return jnp.transpose(img, (0, 3, 1, 2))
 
 
 class GRUCell(nn.Module):
