@@ -131,3 +131,31 @@ def test_recurrent_bptt_predict_hooks():
     assert float(jnp.abs(tr.mask_predict_carry(carry2, done)).max()) == 0.0
     stats = tr.evaluate(st, max_steps=4)
     assert np.isfinite(stats["eval/ep_rew_mean"])
+
+
+@pytest.mark.slow
+def test_bptt_navigation_learns():
+    """Differentiable-sim navigation (the reference manuscript's headline
+    path): BPTT on NavigationEnv2 in the cluttered garage reaches real eval
+    success within ~80 updates (~250k env steps). Full budget (150 updates)
+    measures ~70% eval success."""
+    from visfly_tpu.envs import NavigationEnv2
+
+    env = NavigationEnv2(
+        num_agent_per_scene=96, visual=True, requires_grad=True,
+        scene_kwargs={"path": "garage_simple_l_medium"},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03,
+                         "action_type": "bodyrate"},
+        max_episode_steps=256,
+    )
+    tr = BPTT(env, horizon=32, learning_rate=1e-3,
+              policy_kwargs={"latent_dim": (128, 128)})
+    st = tr.init(jax.random.PRNGKey(0))
+    rewards = []
+    for _ in range(80):
+        st, m = tr.update(st)
+        rewards.append(float(m["reward_mean"]))
+    assert np.isfinite(rewards).all()
+    assert np.mean(rewards[-10:]) > np.mean(rewards[:10])
+    stats = tr.evaluate(st, max_steps=256)
+    assert stats["eval/success_rate"] > 0.05, stats
