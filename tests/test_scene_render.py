@@ -242,3 +242,23 @@ def test_env_applies_sensor_noise():
     st_n2, out2 = env_noisy.step(st_n1, a)
     assert not np.allclose(np.asarray(out1.obs["depth"]),
                            np.asarray(out2.obs["depth"]))
+
+
+def test_requires_grad_defaults_xla_render_backend():
+    """Differentiated envs default sensors to the XLA tracer (the Pallas
+    kernel's Mosaic compile pathologically hangs under grad+remat on TPU);
+    explicit render_backend wins; plain envs keep the Pallas default."""
+    from visfly_tpu.envs import NavigationEnv
+
+    kw = dict(num_agent_per_scene=2, visual=True,
+              scene_kwargs={"path": "garage_simple_l_medium"},
+              sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                              "resolution": [16, 16]}])
+    assert NavigationEnv(requires_grad=True,
+                         **kw).sensor_kwargs[0]["render_backend"] == "xla"
+    assert "render_backend" not in NavigationEnv(**kw).sensor_kwargs[0]
+    kw["sensor_kwargs"] = [{"sensor_type": "depth", "uuid": "depth",
+                            "resolution": [16, 16],
+                            "render_backend": "pallas"}]
+    assert NavigationEnv(requires_grad=True,
+                         **kw).sensor_kwargs[0]["render_backend"] == "pallas"

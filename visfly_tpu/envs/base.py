@@ -188,7 +188,16 @@ class DroneGymEnv:
         # (`droneEnv.py:127-143`); visual envs get bounds from the scene.
         self.scene = None
         self.scene_kwargs = scene_kwargs or {}
-        self.sensor_kwargs = list(sensor_kwargs or [])
+        self.sensor_kwargs = [dict(s) for s in (sensor_kwargs or [])]
+        if requires_grad:
+            # Differentiated rollouts (BPTT/SHAC/APG) default to the XLA
+            # analytic tracer: the Pallas kernel's forward inside a
+            # remat'd+differentiated scan triggers a pathological Mosaic
+            # compile (>30 min observed on v5e), while the XLA path compiles
+            # in seconds and trains at ~56k steps/s with 48 agents. Pass
+            # render_backend: "pallas" in a sensor spec to override.
+            for s in self.sensor_kwargs:
+                s.setdefault("render_backend", "xla")
         self.bbox = jnp.asarray([[-30.0, -30.0, 0.0], [30.0, 30.0, 8.0]], dtype)
         if visual:
             self._load_scene()
