@@ -159,3 +159,21 @@ def test_bptt_navigation_learns():
     assert np.mean(rewards[-10:]) > np.mean(rewards[:10])
     stats = tr.evaluate(st, max_steps=256)
     assert stats["eval/success_rate"] > 0.05, stats
+
+
+def test_trainer_forces_requires_grad():
+    """Analytic-gradient trainers flip env.requires_grad (the reference sets
+    it inside the algorithm, `shac.py:120-124`) and apply the XLA render
+    backend the env constructor would have chosen."""
+    from visfly_tpu.envs import NavigationEnv
+
+    env = NavigationEnv(
+        num_agent_per_scene=2, visual=True,
+        scene_kwargs={"path": "garage_simple_l_medium"},
+        sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                        "resolution": [16, 16]}],
+    )
+    assert not env.requires_grad
+    BPTT(env, horizon=4, policy_kwargs={"latent_dim": (16,)})
+    assert env.requires_grad
+    assert env.sensor_kwargs[0]["render_backend"] == "xla"

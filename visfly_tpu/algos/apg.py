@@ -47,6 +47,7 @@ class APG(TrainerMixin):
         **_ignored,
     ):
         self.env = env
+        self._require_grad_env(env)
         self.H = int(horizon)
         self.seed = seed
         self.remat = remat

@@ -64,6 +64,7 @@ class BPTT(TrainerMixin):
         **_ignored,
     ):
         self.env = env
+        self._require_grad_env(env)
         self.H = int(horizon)
         self.gamma = float(gamma)
         self.seed = seed

@@ -17,6 +17,20 @@ import numpy as np
 class TrainerMixin:
     """Requires: self.env, self.predict(st, obs)."""
 
+    @staticmethod
+    def _require_grad_env(env) -> None:
+        """Analytic-gradient trainers need a differentiable env. The
+        reference flips the flag inside the algorithm (`shac.py:120-124`
+        sets ``env.requires_grad = True`` in ``_build``); mirrored here, and
+        the sensor specs pick up the XLA render backend the env constructor
+        would have applied (see `envs/base.py` — the Pallas kernel's Mosaic
+        compile hangs under grad+remat). Safe pre-trace: ``step`` reads the
+        flag and the specs at trace time."""
+        if not env.requires_grad:
+            env.requires_grad = True
+            for s in env.sensor_kwargs:
+                s.setdefault("render_backend", "xla")
+
     def make_logger(self, log_dir: Optional[str] = None,
                     formats=("stdout", "csv", "tensorboard")):
         from ..utils.logger import Logger

@@ -60,6 +60,7 @@ class SHAC(TrainerMixin):
         **_ignored,
     ):
         self.env = env
+        self._require_grad_env(env)
         self.H = int(horizon)
         self.gamma = float(gamma)
         self.tau = float(tau)

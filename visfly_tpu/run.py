@@ -64,6 +64,16 @@ def main(default_env: str = "cluttered_flight") -> None:
     alg_config = load_yaml_config(
         os.path.join(base_dir, "alg_cfgs", args.env, f"{args.algorithm}.yaml")
     )
+    # algorithm YAMLs may carry env overrides (e.g. BPTT needs
+    # requires_grad: true while PPO on the same env cfg must not pay for it)
+    from visfly_tpu.utils.common import deep_merge
+
+    for section in ("env", "eval_env"):
+        if section in alg_config:
+            env_config[section] = deep_merge(
+                origin=env_config.get(section, {}),
+                target=alg_config[section],
+            )
 
     env_cls = EXPERIMENT_ENVS[args.env]
     alg_cls = ALGO_ALIASES[args.algorithm.lower()]
