@@ -335,3 +335,23 @@ def test_ppo_episode_stats_window():
     assert int(stats.count) == EP_WINDOW
     r, _, _ = episode_stats_means(stats)
     assert float(r) == np.mean(np.arange(100, 200))
+
+
+def test_episode_stats_overflow_deterministic():
+    """>EP_WINDOW simultaneous finishes keep exactly the LAST EP_WINDOW
+    episodes (deque semantics) — duplicate-index scatters would otherwise
+    pick an unspecified subset."""
+    import jax.numpy as jnp
+
+    from visfly_tpu.algos.ppo import (EP_WINDOW, episode_stats_means,
+                                      init_episode_stats, push_episode_stats)
+
+    n = 2 * EP_WINDOW + 56
+    st = init_episode_stats()
+    ret = jnp.arange(n, dtype=jnp.float32)
+    st2 = push_episode_stats(st, jnp.ones((n,), bool), ret, ret, ret)
+    got = np.sort(np.asarray(st2.returns))
+    want = np.arange(n - EP_WINDOW, n, dtype=np.float32)
+    np.testing.assert_array_equal(got, want)
+    assert int(st2.count) == EP_WINDOW
+    assert abs(float(episode_stats_means(st2)[0]) - want.mean()) < 1e-4

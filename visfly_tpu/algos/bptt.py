@@ -59,12 +59,14 @@ class BPTT(TrainerMixin):
         max_grad_norm: float = 0.5,
         seed: int = 42,
         remat: bool = True,
+        train: bool = True,
         comment: Optional[str] = None,
         save_path: Optional[str] = None,
         **_ignored,
     ):
         self.env = env
-        self._require_grad_env(env)
+        if train:
+            self._require_grad_env(env)
         self.H = int(horizon)
         self.gamma = float(gamma)
         self.seed = seed

@@ -67,7 +67,13 @@ def push_episode_stats(stats: EpisodeStats, done: Array, ep_return: Array,
     per step handled with a cumsum slot assignment + drop-mode scatter)."""
     offs = jnp.cumsum(done.astype(jnp.int32)) - 1  # slot offset per done agent
     slot = (stats.pos + offs) % EP_WINDOW
-    idx = jnp.where(done, slot, EP_WINDOW)  # out-of-range rows are dropped
+    n_done_now = jnp.sum(done.astype(jnp.int32))
+    # if more than EP_WINDOW episodes finish in one step, keep only the
+    # LAST EP_WINDOW of them — slots stay unique, so the scatter is
+    # deterministic (duplicate indices in a scatter-set have unspecified
+    # order) and matches the deque semantics of "the most recent 100"
+    keep = done & (offs >= n_done_now - EP_WINDOW)
+    idx = jnp.where(keep, slot, EP_WINDOW)  # out-of-range rows are dropped
     dt = stats.returns.dtype
     returns = stats.returns.at[idx].set(ep_return.astype(dt), mode="drop")
     lengths = stats.lengths.at[idx].set(ep_length.astype(dt), mode="drop")

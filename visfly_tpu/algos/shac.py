@@ -57,10 +57,12 @@ class SHAC(TrainerMixin):
         max_grad_norm: float = 0.5,
         seed: int = 42,
         remat: bool = True,
+        train: bool = True,
         **_ignored,
     ):
         self.env = env
-        self._require_grad_env(env)
+        if train:
+            self._require_grad_env(env)
         self.H = int(horizon)
         self.gamma = float(gamma)
         self.tau = float(tau)

@@ -448,24 +448,24 @@ class DroneGymEnv:
         if scene is not None and type(scene) is not tuple:
             from ..scene import closest_point_query
 
+            point, dis, out = closest_point_query(
+                scene, self._scene_ids(), pos
+            )
             if self.col_refine_steps > 0:
+                # point/dis/is_collision come from the dt=0 query above;
+                # the velocity sub-samples feed ONLY the bounds any(), which
+                # is a 6-comparison test — no SDF/normal evaluation needed
                 k = self.col_refine_steps
                 vel = jax.lax.stop_gradient(dyn.vel)
-                frac = jnp.linspace(0.0, 1.0, k + 1)[:-1]  # (k,)
+                # same sample points as the reference minus the dt=0 one
+                # already queried: frac ∈ {1/k, …, (k-1)/k}
+                frac = jnp.linspace(0.0, 1.0, k + 1)[1:-1]
                 samples = (pos[:, None, :]
                            + vel[:, None, :] * frac[None, :, None]
                            * self.dyn_config.ctrl_dt)  # (N, k, 3)
-                n = pos.shape[0]
-                flat = samples.reshape(n * k, 3)
-                ids = jnp.repeat(self._scene_ids(), k)
-                p_s, d_s, o_s = closest_point_query(scene, ids, flat)
-                point = p_s.reshape(n, k, 3)[:, 0]
-                dis = d_s.reshape(n, k)[:, 0]
-                out = jnp.any(o_s.reshape(n, k), axis=1)
-            else:
-                point, dis, out = closest_point_query(
-                    scene, self._scene_ids(), pos
-                )
+                lo, hi = scene.bbox[0], scene.bbox[1]
+                out_s = jnp.any((samples < lo) | (samples > hi), axis=(1, 2))
+                out = out | out_s
             vector = point - pos
         else:
             lo, hi = self.bbox[0], self.bbox[1]

@@ -88,13 +88,17 @@ def redwood_depth(key: Array, depth: Array, noise_multiplier: float = 1.0,
     k_lat, k_ax, k_drop, k_dir = jax.random.split(key, 4)
     z = depth.astype(jnp.float32)
 
-    # 1. lateral jitter via roll blends over the last two (H, W) axes
-    shifted = jnp.stack([
-        jnp.roll(z, 1, axis=-1), jnp.roll(z, -1, axis=-1),
-        jnp.roll(z, 1, axis=-2), jnp.roll(z, -1, axis=-2),
-    ])  # (4, N, 1, H, W)
+    # 1. lateral jitter via roll blends over the last two (H, W) axes;
+    # the 4-way pick is a select chain, not a take_along_axis gather
+    # (TPU gathers measured ~1e8 elem/s — a select chain fuses for free)
     pick = jax.random.randint(k_dir, z.shape, 0, 4)
-    lateral = jnp.take_along_axis(shifted, pick[None], axis=0)[0]
+    lateral = jnp.roll(z, 1, axis=-1)
+    for i, shifted in enumerate([
+        jnp.roll(z, -1, axis=-1),
+        jnp.roll(z, 1, axis=-2),
+        jnp.roll(z, -1, axis=-2),
+    ]):
+        lateral = jnp.where(pick == i + 1, shifted, lateral)
     use_lat = jax.random.uniform(k_lat, z.shape) < lateral_prob
     z = jnp.where(use_lat, lateral, z)
 

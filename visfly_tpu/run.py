@@ -105,7 +105,9 @@ def main(default_env: str = "cluttered_flight") -> None:
         raise ValueError("Testing requires --weight/-w.")
 
     eval_env = env_cls(**env_config["eval_env"])
-    model = alg_cls(env=eval_env, seed=args.seed,
+    # train=False: keep the eval env exactly as configured (no requires_grad
+    # flip / XLA-render forcing by the analytic-gradient trainers)
+    model = alg_cls(env=eval_env, seed=args.seed, train=False,
                     **alg_config.get("algorithm", {}))
     state = model.init()
     state = model.load(state, os.path.join(save_folder, args.weight))

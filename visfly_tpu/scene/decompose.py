@@ -83,14 +83,16 @@ def sdf_grid_to_boxes(
     covered = np.zeros_like(occ)
     origin = np.asarray(origin, np.float64)
     prims: List[dict] = []
+    # occupancy never changes inside the loop — one distance transform,
+    # re-masked per iteration
+    dt_full = ndimage.distance_transform_cdt(occ, metric="chessboard")
     while len(prims) < max_prims:
         uncovered = interior & ~covered
         if uncovered.sum() <= (1.0 - min_cover) * total:
             break
         # seed where the occupancy is thickest (chebyshev distance to free
         # space) among still-uncovered cells — big slabs come out first
-        dt = ndimage.distance_transform_cdt(occ, metric="chessboard")
-        dt = np.where(uncovered, dt, 0)
+        dt = np.where(uncovered, dt_full, 0)
         seed = np.unravel_index(int(np.argmax(dt)), occ.shape)
         r0 = max(int(dt[seed]) - 1, 0)
         lo, hi = _largest_box_at(occ, seed, r0)

@@ -515,6 +515,11 @@ def swap_scene_for_env(env, scene_id: int):
 
     kw = dict(env.scene_kwargs)
     path = kw.get("path", "box15_wall_empty")
+    if (isinstance(path, str)
+            and path.lower().endswith((".glb", ".gltf", ".obj"))):
+        # imported mesh scenes are deterministic (every scene shares the
+        # decomposed spec) — swapping one is the identity, not a re-roll
+        return env.scene
     if os.path.isdir(path):
         spec = load_scene_spec(env._scene_loader.next(1)[0])
     else:

@@ -47,10 +47,16 @@ class TestBase:
         lengths = np.zeros(env.num_envs, np.int32)
         success = np.zeros(env.num_envs, bool)
 
+        # recurrent policies need their hidden state threaded + reset at
+        # episode boundaries (TrainerMixin.evaluate hooks); plain policies
+        # get a () carry and predict_step == predict
+        carry = self.model.init_predict_carry(obs)
+
         for i in range(max_steps):
-            action = self.model.predict(state, obs)
+            action, carry = self.model.predict_step(state, obs, carry)
             env_state, out = step(env_state, action)
             obs = out.obs
+            carry = self.model.mask_predict_carry(carry, out.done)
             done_now = np.asarray(out.done)
             active = ~all_done
             returns += np.asarray(out.reward) * active
