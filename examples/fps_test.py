@@ -60,6 +60,10 @@ def main():
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--mesh", action="store_true",
                    help="also bench an imported triangle-mesh (OBJ) scene")
+    p.add_argument("--scenes", type=int, default=1,
+                   help="batch the depth benchmark over S differently-seeded "
+                        "scenes (agents split across them) — the reference's "
+                        "multi-scene SceneManager case")
     args = p.parse_args()
 
     from visfly_tpu.envs import DynEnv, HoverEnv, NavigationEnv2
@@ -79,6 +83,19 @@ def main():
         ),
         args.steps, "physics + 64×64 depth",
     )
+    if args.scenes > 1:
+        measure(
+            NavigationEnv2(
+                num_agent_per_scene=max(1, args.agents // args.scenes),
+                num_scene=args.scenes, visual=True,
+                scene_kwargs={"path": "garage_simple_l_medium"},
+                sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                                "resolution": [64, 64]}],
+                dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03},
+            ),
+            args.steps,
+            f"physics + 64×64 depth, {args.scenes} batched scenes",
+        )
     # cluttered scene (same primitive load as the depth benchmark) so the
     # dynamic-object cost is measured against a realistic static-geometry
     # baseline, mirroring the reference DynEnv config (`FPS_test.py:121-155`)
