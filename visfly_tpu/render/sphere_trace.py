@@ -421,8 +421,16 @@ def _shade_primitive(
             sem = onehot @ semantic.astype(pts.dtype)
             return jnp.where(hit_s, sem, 0.0)
         albedo = onehot @ colors  # (R, 3)
-        # exact normal from autodiff for lambertian shading
-        g = jax.grad(lambda q: jnp.sum(prim_sdf(params, q)))(pts)
+        # Lambertian normal from the NEAREST primitive only: the scene SDF
+        # is a hard min, so ∇min == ∇(argmin prim) — differentiating the
+        # K-prim scene sum would cost K× more for the identical normal.
+        # Per-ray prim params via one-hot matmul (MXU), no gathers.
+        prow = onehot @ params  # (R, 12)
+
+        def d_single(p, row):
+            return prim_distances(row[None], p)[..., 0]
+
+        g = jax.vmap(jax.grad(d_single))(pts, prow)
         n = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
         lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
         shade = 0.35 + 0.65 * lam
