@@ -209,3 +209,41 @@ def test_dyn_env_with_objects():
     # the moving obstacle changes the depth image over time
     assert np.abs(d0 - d1).max() > 0.05
     assert np.isfinite(np.asarray(out.reward)).all()
+
+
+def test_prim_normal_single_matches_grad():
+    """Closed-form per-primitive normals (the RGB shading path) equal the
+    autodiff gradient of prim_distances for boxes (interior/exterior/
+    rounded/yawed/inverted rooms) and capsules."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visfly_tpu.scene.prim_scene import (prim_distances,
+                                             prim_normal_single)
+
+    rng = np.random.default_rng(3)
+    rows, pts = [], []
+    for i in range(60):
+        fam = i % 2
+        c = rng.uniform(-3, 3, 3)
+        he = rng.uniform(0.3, 2.0, 3)
+        yaw = rng.uniform(0, 6.28)
+        r = 0.0 if fam == 0 else rng.uniform(0.1, 0.5)
+        sign = -1.0 if (fam == 0 and i % 10 == 0) else 1.0
+        rows.append([*c, *he, r, np.cos(yaw), np.sin(yaw), sign, fam, 1.0])
+        pts.append(rng.uniform(-5, 5, 3))
+    # deterministic interior-box / room-wall cases
+    rows += [[0, 0, 0, 2, 1, 1, 0, 1, 0, 1, 0, 1],
+             [0, 0, 0, 8, 8, 4, 0, 1, 0, -1, 0, 1]]
+    pts += [[0.5, 0.2, -0.1], [7.5, 0.0, 1.0]]
+    rows = jnp.asarray(rows, jnp.float32)
+    pts = jnp.asarray(pts, jnp.float32)
+
+    def d_single(p, row):
+        return prim_distances(row[None], p)[..., 0]
+
+    g = jax.vmap(jax.grad(d_single))(pts, rows)
+    g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+    n = prim_normal_single(rows, pts)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(n), atol=1e-4)

@@ -27,6 +27,7 @@ from jax import Array
 from ..scene.prim_scene import (
     PrimitiveScene,
     prim_distances,
+    prim_normal_single,
     prim_sdf,
 )
 from ..scene.queries import sample_sdf
@@ -424,14 +425,10 @@ def _shade_primitive(
         # Lambertian normal from the NEAREST primitive only: the scene SDF
         # is a hard min, so ∇min == ∇(argmin prim) — differentiating the
         # K-prim scene sum would cost K× more for the identical normal.
-        # Per-ray prim params via one-hot matmul (MXU), no gathers.
+        # Per-ray prim params via one-hot matmul (MXU), no gathers; the
+        # normal itself is closed-form (test_prim_normal_single_matches_grad).
         prow = onehot @ params  # (R, 12)
-
-        def d_single(p, row):
-            return prim_distances(row[None], p)[..., 0]
-
-        g = jax.vmap(jax.grad(d_single))(pts, prow)
-        n = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+        n = prim_normal_single(prow, pts)
         lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
         shade = 0.35 + 0.65 * lam
         return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)

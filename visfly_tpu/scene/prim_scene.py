@@ -268,6 +268,55 @@ def prim_sdf(params: Array, p: Array) -> Array:
     return jnp.min(prim_distances(params, p), axis=-1)
 
 
+def prim_normal_single(prow: Array, p: Array) -> Array:
+    """Closed-form outward unit normal of ONE primitive per point.
+    prow (..., 12) — a per-point selected parameter row (e.g. the argmin
+    prim via one-hot matmul) — p (..., 3) → (..., 3). Matches the gradient
+    of :func:`prim_distances` analytically (box: rounded-slab gradient
+    rotated through the yaw frame; capsule: radial from the axis point),
+    ~3× cheaper than per-point autodiff and with no per-point vmap."""
+    c = prow[..., 0:3]
+    he = prow[..., 3:6]
+    cy, sy = prow[..., 7], prow[..., 8]
+    sign = prow[..., 9]
+    family = prow[..., 10]
+
+    # box family: local frame
+    d0 = p - c
+    x = cy * d0[..., 0] + sy * d0[..., 1]
+    y = -sy * d0[..., 0] + cy * d0[..., 1]
+    z = d0[..., 2]
+    qx = jnp.abs(x) - he[..., 0]
+    qy = jnp.abs(y) - he[..., 1]
+    qz = jnp.abs(z) - he[..., 2]
+    ox = jnp.maximum(qx, 0.0)
+    oy = jnp.maximum(qy, 0.0)
+    oz = jnp.maximum(qz, 0.0)
+    out_norm = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-12)
+    outside = out_norm > 1e-6
+    # outside: gradient of |max(q,0)|; inside: the face of max q
+    m = jnp.maximum(qx, jnp.maximum(qy, qz))
+    nlx = jnp.where(outside, ox / out_norm, (qx >= m) * 1.0) * jnp.sign(x)
+    nly = jnp.where(outside, oy / out_norm, (qy >= m) * 1.0) * jnp.sign(y)
+    nlz = jnp.where(outside, oz / out_norm, (qz >= m) * 1.0) * jnp.sign(z)
+    n_box = jnp.stack(
+        [cy * nlx - sy * nly, sy * nlx + cy * nly, nlz], axis=-1
+    ) * sign[..., None]
+
+    # capsule family: radial from the closest axis point (the h-dependence
+    # cancels at the optimum, so ∇dist = diff/|diff| exactly)
+    a = c
+    ba = he - a
+    pa = p - a
+    denom = jnp.sum(ba * ba, axis=-1) + 1e-9
+    h = jnp.clip(jnp.sum(pa * ba, axis=-1) / denom, 0.0, 1.0)
+    diff = pa - ba * h[..., None]
+    n_cap = diff / (jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-9)
+
+    n = jnp.where(family[..., None] < 0.5, n_box, n_cap)
+    return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+
+
 def scene_sdf_grouped(scene: PrimitiveScene, p: Array) -> Array:
     """p (S, Ns, 3) → (S, Ns): vmap over the scene axis (static per-scene
     params, zero gathers)."""
