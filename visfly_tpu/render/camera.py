@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array
@@ -116,8 +117,12 @@ def camera_rays_components(
         origins = pos
 
     rot = quat.to_rotation_matrix(q)  # (N, 3, 3)
+    # HIGHEST: the TPU DEFAULT multiply is bf16 — ray directions rounded to
+    # ~8 mantissa bits cost ~4 cm lateral error at 10 m, silently breaking
+    # the renderer's mm-level accuracy claims (CPU tests can't see this)
     dirs = jnp.einsum("nck,kp->cnp", rot, db,
-                      preferred_element_type=jnp.float32)  # (3, N, HW)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (3, N, HW)
     cos_f = jnp.asarray(dirs_body.reshape(H * W, 3) @ forward_body)  # (HW,)
     return origins.T, dirs, cos_f
 

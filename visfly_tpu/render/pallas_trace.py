@@ -460,7 +460,10 @@ def cull_compact(kscene: KernelScene, origins_c: Array, dirs_c: Array,
         plane_norm1 = jnp.abs(planes)  # |n| per component, (S, T, 4, 3)
         # boxes: r_eff = Σ|n|·half_world (n is unnormalised — consistent
         # with the unnormalised plane distances)
-        r_box = jnp.einsum("stpc,skc->stpk", plane_norm1, hw)
+        # full precision: a bf16-rounded r_eff can under-estimate the
+        # conservative bound and cull a marginally-visible primitive
+        r_box = jnp.einsum("stpc,skc->stpk", plane_norm1, hw,
+                           precision=jax.lax.Precision.HIGHEST)
         vis_b = jnp.all(
             jnp.sum(planes[:, :, :, None]
                     * (c[:, None, None] - apex[:, :, None, None]), -1)
@@ -483,8 +486,13 @@ def cull_compact(kscene: KernelScene, origins_c: Array, dirs_c: Array,
         onehot = (order[:, :, :k_c, None] == jnp.arange(K)).astype(
             params.dtype
         )
+        # HIGHEST precision is required: preferred_element_type only sets
+        # the accumulator — the TPU DEFAULT multiply truncates f32 inputs
+        # to bf16, which would round the compacted primitive parameters
+        # (centers off by ~0.02) before the kernel ever sees them
         out = jnp.einsum("stik,skc->stic", onehot, params,
-                         preferred_element_type=params.dtype)
+                         preferred_element_type=params.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
         return out, active.sum(-1).astype(jnp.int32)
 
     boxes_t, nb = compact(boxes, active_b, KB, kb_c)

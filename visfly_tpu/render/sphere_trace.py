@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -415,19 +417,26 @@ def _shade_primitive(
     """Color/semantic via one-hot matmul over the per-scene primitive tables
     (MXU-friendly; no gathers)."""
 
+    # one-hot matmuls MUST run at full f32: the TPU default is bf16 inputs
+    # (~8 mantissa bits), which truncates primitive centers/extents before
+    # the closed-form normal (measured: 4.8% of hit pixels get a wrong-face/
+    # flipped normal) and corrupts semantic ids ≥ 128. K is tiny — HIGHEST
+    # costs nothing here.
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
     def per_scene(params, colors, semantic, pts, hit_s):
         d = prim_distances(params, pts)  # (R, K)
         onehot = jax.nn.one_hot(jnp.argmin(d, axis=-1), d.shape[-1], dtype=pts.dtype)
         if want == "semantic":
-            sem = onehot @ semantic.astype(pts.dtype)
+            sem = dot(onehot, semantic.astype(pts.dtype))
             return jnp.where(hit_s, sem, 0.0)
-        albedo = onehot @ colors  # (R, 3)
+        albedo = dot(onehot, colors)  # (R, 3)
         # Lambertian normal from the NEAREST primitive only: the scene SDF
         # is a hard min, so ∇min == ∇(argmin prim) — differentiating the
         # K-prim scene sum would cost K× more for the identical normal.
         # Per-ray prim params via one-hot matmul (MXU), no gathers; the
         # normal itself is closed-form (test_prim_normal_single_matches_grad).
-        prow = onehot @ params  # (R, 12)
+        prow = dot(onehot, params)  # (R, 12)
         n = prim_normal_single(prow, pts)
         lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
         shade = 0.35 + 0.65 * lam
