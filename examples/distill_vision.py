@@ -45,8 +45,11 @@ def student_obs(obs):
 
 
 def main():
+    repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     p = argparse.ArgumentParser()
-    p.add_argument("--teacher", default="saved/navigation2/BPTT_tpu2m_1")
+    p.add_argument("--teacher",
+                   default=os.path.join(repo_root, "saved", "navigation2",
+                                        "BPTT_tpu2m_1"))
     p.add_argument("--rounds", type=int, default=6,
                    help="DAgger rounds (student takes over linearly)")
     p.add_argument("--steps", type=int, default=96,
@@ -152,6 +155,7 @@ def main():
             agg_obs = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b]), agg_obs, s_obs)
             agg_act = jnp.concatenate([agg_act, t_act])
+        loss = float("nan")
         for _ in range(args.epochs):
             s_params, opt, loss = train_epoch(s_params, opt, agg_obs, agg_act)
         print(f"round {r}: beta={beta:.2f} dataset={agg_act.shape[0]} "
