@@ -1,0 +1,189 @@
+"""Habitat-format composite-scene ingest (stage + object placements).
+
+Parity target: the reference's dataset resolution + composite scene load
+(`/root/reference/utils/SceneManager.py:243-271,893-929`, layout
+`readme.md:75-93`). A synthetic dataset in the habitat JSON schema (y-up
+frame) is built on the fly; ingestion must place instanced meshes at the
+correct std-frame (z-up) coordinates and produce a renderable env scene.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_cuboid_obj(path, center, half, extra=None):
+    """Axis-aligned cuboid(s) as a minimal OBJ (habitat-frame coords)."""
+    cuboids = [(center, half)] + (extra or [])
+    v_lines, f_lines = [], []
+    base = 0
+    for c, h in cuboids:
+        c, h = np.asarray(c, float), np.asarray(h, float)
+        corners = [c + h * np.array([sx, sy, sz])
+                   for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        for p in corners:
+            v_lines.append(f"v {p[0]} {p[1]} {p[2]}")
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+        for a, b, cc, d in quads:
+            f_lines.append(f"f {base+a+1} {base+b+1} {base+cc+1}")
+            f_lines.append(f"f {base+a+1} {base+cc+1} {base+d+1}")
+        base += 8
+    with open(path, "w") as f:
+        f.write("\n".join(v_lines + f_lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def habitat_dataset_dir(tmp_path_factory):
+    """Synthetic habitat dataset: garage stage + cube object, two scenes.
+
+    Geometry is authored in the HABITAT frame (y-up). Std frame mapping:
+    std = (-hab_z, -hab_x, hab_y). The stage interior spans std
+    x∈[0,8], y∈[-3,3], z∈[0,3]."""
+    root = tmp_path_factory.mktemp("habdata")
+    for d in ("configs/stages", "configs/objects", "configs/scenes",
+              "meshes"):
+        os.makedirs(root / d, exist_ok=True)
+
+    # stage: floor + 4 walls, habitat frame. hab_x = -std_y ∈ [-3, 3],
+    # hab_y = std_z ∈ [0, 3], hab_z = -std_x ∈ [-8, 0]
+    t = 0.2
+    _write_cuboid_obj(
+        root / "meshes" / "garage.obj",
+        [0.0, -t / 2, -4.0], [3 + t, t / 2, 4 + t],  # floor
+        extra=[
+            ([-(3 + t / 2), 1.5, -4.0], [t / 2, 1.5, 4 + t]),  # std +y wall
+            ([+(3 + t / 2), 1.5, -4.0], [t / 2, 1.5, 4 + t]),  # std -y wall
+            ([0.0, 1.5, t / 2], [3 + t, 1.5, t / 2]),          # std x=0 wall
+            ([0.0, 1.5, -(8 + t / 2)], [3 + t, 1.5, t / 2]),   # std x=8 wall
+        ])
+    _write_cuboid_obj(root / "meshes" / "cube.obj", [0, 0, 0],
+                      [0.3, 0.3, 0.3])
+
+    (root / "configs" / "stages" / "garage.stage_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/garage.obj"}))
+    (root / "configs" / "objects" / "cube.object_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/cube.obj"}))
+
+    # scene 1: cube at std (4, 0, 1) → hab (-std_y, std_z, -std_x) = (0,1,-4)
+    scene1 = {
+        "stage_instance": {"template_name": "garage"},
+        "object_instances": [
+            {"template_name": "cube", "translation": [0.0, 1.0, -4.0],
+             "rotation": [1.0, 0.0, 0.0, 0.0]},
+        ],
+    }
+    # scene 2: two cubes, one rotated 45° about the up axis, one scaled
+    s2 = np.sin(np.pi / 8)
+    c2 = np.cos(np.pi / 8)
+    scene2 = {
+        "stage_instance": {"template_name": "garage"},
+        "object_instances": [
+            {"template_name": "cube", "translation": [1.0, 1.0, -4.0],
+             "rotation": [c2, 0.0, s2, 0.0]},  # 45° about hab y (= std z)
+            {"template_name": "cube", "translation": [-1.0, 0.5, -6.0],
+             "non_uniform_scale": [1.0, 1.5, 1.0]},
+        ],
+    }
+    for name, sc in (("garage_a", scene1), ("garage_b", scene2)):
+        (root / "configs" / "scenes" / f"{name}.scene_instance.json"
+         ).write_text(json.dumps(sc))
+
+    (root / "test.scene_dataset_config.json").write_text(json.dumps({
+        "stages": {"paths": {".json": ["configs/stages/*.json"]}},
+        "objects": {"paths": {".json": ["configs/objects/*.json"]}},
+        "scene_instances": {"paths": {".json": ["configs/scenes/*.json"]}},
+    }))
+    return str(root)
+
+
+def test_dataset_index_and_scene_list(habitat_dataset_dir):
+    from visfly_tpu.scene.habitat_dataset import (
+        HabitatDataset, is_habitat_scene_path, list_habitat_scenes)
+
+    cfg = os.path.join(habitat_dataset_dir, "test.scene_dataset_config.json")
+    ds = HabitatDataset(cfg)
+    assert "garage" in ds.stages and "cube" in ds.objects
+    assert len(ds.scenes) == 2
+
+    scenes_dir = os.path.join(habitat_dataset_dir, "configs", "scenes")
+    assert is_habitat_scene_path(scenes_dir)
+    assert is_habitat_scene_path(cfg)
+    assert len(list_habitat_scenes(scenes_dir)) == 2
+
+
+def test_composite_scene_geometry(habitat_dataset_dir):
+    """Ingested scene has the cube at std (4,0,1) and the stage's bbox."""
+    from visfly_tpu.scene.habitat_dataset import load_habitat_scene
+
+    scene_f = os.path.join(habitat_dataset_dir, "configs", "scenes",
+                           "garage_a.scene_instance.json")
+    spec = load_habitat_scene(scene_f, spacing=0.1)
+    assert len(spec.primitives) > 0
+    # flight volume = stage bounds (std frame)
+    assert np.allclose(spec.bounds_min, [-0.2, -3.2, -0.2], atol=0.05)
+    assert np.allclose(spec.bounds_max, [8.2, 3.2, 3.0], atol=0.05)
+    # some box must cover the cube at std (4, 0, 1)
+    centers = np.array([p["center"] for p in spec.primitives])
+    halves = np.array([p["half_extents"] for p in spec.primitives])
+    inside = np.all(np.abs(centers - [4.0, 0.0, 1.0]) <= halves + 0.15,
+                    axis=1)
+    assert inside.any(), f"no box covers the cube; centers={centers[:8]}"
+    # every box must stay within one spacing of the authored geometry:
+    # no box may cover the open interior point std (2, 0, 1)
+    covers_free = np.all(np.abs(centers - [2.0, 0.0, 1.0]) <= halves - 0.05,
+                         axis=1)
+    assert not covers_free.any()
+
+
+def test_env_renders_habitat_scene(habitat_dataset_dir):
+    """End-to-end: env loads the scene set, renders depth, sees the cube."""
+    import jax
+    import jax.numpy as jnp
+    from visfly_tpu.envs import NavigationEnv
+
+    scenes_dir = os.path.join(habitat_dataset_dir, "configs", "scenes")
+    env = NavigationEnv(
+        num_agent_per_scene=2, num_scene=2, visual=True,
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 0.5, 0.5]}}
+        ]}},
+        scene_kwargs={"path": scenes_dir, "spacing": 0.1},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [16, 16]}],
+        target=[7.0, 0.0, 1.0],
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["depth"].shape == (4, 1, 16, 16)
+    assert bool(jnp.isfinite(obs["depth"]).all())
+    # the stage is open-topped (rays over the walls miss → max_depth), but
+    # a forward-looking centre ray must hit the far wall (≤ ~7.2 m) or an
+    # object — never the 20 m no-hit sentinel
+    centre = np.asarray(obs["depth"])[:, 0, 8, 8]
+    assert (centre <= 9.0).all() and (centre >= 0.3).all(), centre
+    state, out = env.step(state, jnp.zeros((4, 4)))
+    assert bool(jnp.isfinite(out.reward).all())
+
+
+def test_scene_swap_rotates_habitat_scenes(habitat_dataset_dir):
+    """reset_env_by_id pulls the next scene instance from the dataset."""
+    import jax
+    from visfly_tpu.envs import NavigationEnv
+
+    scenes_dir = os.path.join(habitat_dataset_dir, "configs", "scenes")
+    env = NavigationEnv(
+        num_agent_per_scene=1, num_scene=1, visual=True,
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 0.5, 0.5]}}
+        ]}},
+        scene_kwargs={"path": scenes_dir, "spacing": 0.1},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [16, 16]}],
+    )
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    before = np.asarray(jax.tree_util.tree_leaves(env.scene.params)[0]).copy()
+    state = env.reset_env_by_id(state, 0)
+    after = np.asarray(jax.tree_util.tree_leaves(env.scene.params)[0])
+    assert before.shape == after.shape  # zero-recompile contract
+    assert not np.allclose(before, after)  # a different scene landed

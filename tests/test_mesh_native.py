@@ -231,3 +231,98 @@ def test_mesh_file_env_uses_primitive_backend(tmp_path):
 
     env_g = mkenv(backend="grid")
     assert isinstance(env_g.scene, SceneData)
+
+
+def _cylinder_mesh(cx, cy, radius, z0, z1, n=24):
+    """Closed n-gon prism approximating a vertical cylinder."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)], 1)
+    bot = np.concatenate([ring, np.full((n, 1), z0)], 1)
+    top = np.concatenate([ring, np.full((n, 1), z1)], 1)
+    cb = np.array([[cx, cy, z0]])
+    ct = np.array([[cx, cy, z1]])
+    verts = np.concatenate([bot, top, cb, ct]).astype(np.float32)
+    faces = []
+    for i in range(n):
+        j = (i + 1) % n
+        faces += [[i, j, n + j], [i, n + j, n + i]]        # side
+        faces += [[2 * n, j, i], [2 * n + 1, n + i, n + j]]  # caps
+    return verts, np.asarray(faces, np.int32)
+
+
+def _ramp_mesh(x0, x1, y0, y1, h):
+    """Triangular prism: rises from z=0 at x0 to z=h at x1, extruded in y."""
+    verts = np.asarray([
+        [x0, y0, 0], [x1, y0, 0], [x1, y0, h],
+        [x0, y1, 0], [x1, y1, 0], [x1, y1, h],
+    ], np.float32)
+    faces = np.asarray([
+        [0, 1, 2], [3, 5, 4],              # ends
+        [0, 2, 5], [0, 5, 3],              # sloped face
+        [0, 3, 4], [0, 4, 1],              # bottom
+        [1, 4, 5], [1, 5, 2],              # back
+    ], np.int32)
+    return verts, faces
+
+
+def test_mesh_decomposition_curved_fidelity(tmp_path):
+    """VERDICT r2 item 6: decomposition quality on CURVED/thin geometry —
+    two round columns and a 45° ramp. The cylinder fitting must engage
+    (greedy boxes alone square off columns), and the decomposed render must
+    match the exact grid render to p95 ≤ 2× spacing with ≤2% see-through."""
+    import jax.numpy as jnp
+
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.decompose import decompose_mesh_scene
+    from visfly_tpu.scene.prim_scene import pack_scenes
+
+    vs, fs = [], []
+
+    def add(v, f):
+        base = sum(len(x) for x in vs)
+        vs.append(v)
+        fs.append(f + base)
+
+    add(*_cylinder_mesh(1.5, -0.8, 0.4, 0.0, 3.0))
+    add(*_cylinder_mesh(2.5, 0.9, 0.3, 0.0, 3.0))
+    add(*_ramp_mesh(3.5, 5.0, -1.5, 1.5, 1.5))
+    verts = np.concatenate(vs)
+    faces = np.concatenate(fs)
+    p = tmp_path / "curved.obj"
+    with open(p, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+    spacing = 0.08
+    spec = decompose_mesh_scene(str(p), spacing=spacing, margin=1.0,
+                                max_prims=96, min_cover=0.995)
+    kinds = [pr["type"] for pr in spec.primitives]
+    assert "cylinder" in kinds, f"cylinder fitting did not engage: {kinds}"
+
+    from visfly_tpu.scene.mesh import bake_mesh_scene
+
+    grid_data = bake_mesh_scene(str(p), spacing=spacing, margin=1.0)
+    prim_data = pack_scenes([spec])
+    pos = jnp.asarray([[-1.5, 0.0, 1.2]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # facing +x at both columns
+    cam = {"sensor_type": "depth", "resolution": [48, 48]}
+    d_grid = np.asarray(render_camera(grid_data, jnp.zeros(1, jnp.int32),
+                                      pos, q, cam, n_steps=96,
+                                      max_depth=12.0)["depth"])[0, 0]
+    d_prim = np.asarray(render_camera(prim_data, jnp.zeros(1, jnp.int32),
+                                      pos, q, cam, n_steps=96,
+                                      max_depth=12.0)["depth"])[0, 0]
+    g_hit = d_grid < 11.9
+    p_hit = d_prim < 11.9
+    # see-through: grid hits geometry the decomposition lost entirely
+    holes = (g_hit & ~p_hit).mean()
+    assert holes <= 0.02, f"see-through fraction {holes:.3f}"
+    both = g_hit & p_hit
+    assert both.mean() > 0.08  # the sparse scene fills ~13% of the frame
+    err = np.abs(d_grid - d_prim)[both]
+    p95 = float(np.percentile(err, 95))
+    assert p95 <= 2 * spacing, f"p95 depth error {p95:.3f} > {2*spacing:.3f}"
+    print(f"curved-fidelity: p95={p95*100:.1f} cm, holes={holes:.3%}, "
+          f"prims={len(spec.primitives)} ({kinds.count('cylinder')} cyl)")

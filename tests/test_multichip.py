@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from visfly_tpu.algos import BPTT, PPO
-from visfly_tpu.envs import HoverEnv
+from visfly_tpu.envs import HoverEnv, NavigationEnv
 from visfly_tpu.parallel import make_mesh, shard_train_state
 
 N_DEV = 8
@@ -109,3 +109,80 @@ def test_ppo_sharded_update_matches_unsharded():
     for k in ("loss", "ep_rew_mean", "reward_mean"):
         assert np.isclose(results[True][k], results[False][k],
                           rtol=1e-4, atol=1e-6), (k, results)
+
+
+def make_visual_nav(num_agent, num_scene=1, **kw):
+    """Tiny VISUAL cluttered-scene env: rendering is the dominant per-step
+    cost being sharded (SURVEY §2.3 — the sharded axis is scenes×agents)."""
+    return NavigationEnv(
+        num_agent_per_scene=num_agent, num_scene=num_scene, visual=True,
+        scene_kwargs={"path": "garage_simple_l_medium",
+                      "scene_gen_kwargs": {"n_obstacles": 4}},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [16, 16]}],
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 1.0, 0.5]}}
+        ]}},
+        dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03,
+                         "action_type": "bodyrate"},
+        max_episode_steps=16,
+        **kw,
+    )
+
+
+def test_ppo_sharded_visual_env_matches_unsharded():
+    """PPO update on a VISUAL env over the mesh: the ray/tile layouts of the
+    depth renderer must survive env-axis sharding — metrics match the
+    unsharded run and carried state stays sharded (VERDICT r2 item 4)."""
+    num_agent = 2 * N_DEV
+    results = {}
+    for sharded in (False, True):
+        env = make_visual_nav(num_agent)
+        trainer = PPO(env, n_steps=4, n_epochs=1, batch_size=0,
+                      policy_kwargs={"pi_layers": (16,), "vf_layers": (16,),
+                                     "net_arch": {"depth": {"cnn": 16},
+                                                  "state": {"mlp": [16]},
+                                                  "target": {"mlp": [16]}}})
+        st = trainer.init(jax.random.PRNGKey(5))
+        if sharded:
+            mesh = make_mesh(N_DEV)
+            st = shard_train_state(st, mesh, num_agent)
+            with mesh:
+                st, m = trainer.update(st)
+            assert not st.env_state.dyn.pos.sharding.is_fully_replicated
+            # rendered obs carried in state shards too (it has the N axis)
+            assert not st.obs["depth"].sharding.is_fully_replicated
+        else:
+            st, m = trainer.update(st)
+        results[sharded] = {k: float(v) for k, v in m.items()}
+    for k in ("loss", "reward_mean"):
+        assert np.isclose(results[True][k], results[False][k],
+                          rtol=1e-4, atol=1e-6), (k, results)
+
+
+def test_bptt_sharded_multiscene_visual_env():
+    """num_scene > 1 under sharding: the scenes×agents batch axis shards,
+    per-scene packed primitive arrays replicate, and a BPTT update through
+    the (XLA-path) differentiable renderer matches the unsharded numbers."""
+    num_scene, per_scene = 2, N_DEV
+    num_agent = num_scene * per_scene
+    results = {}
+    for sharded in (False, True):
+        env = make_visual_nav(per_scene, num_scene=num_scene,
+                              requires_grad=True)
+        trainer = BPTT(env, horizon=3, policy_kwargs={"latent_dim": (16, 16)})
+        st = trainer.init(jax.random.PRNGKey(11))
+        if sharded:
+            mesh = make_mesh(N_DEV)
+            st = shard_train_state(st, mesh, num_agent)
+            with mesh:
+                st, m = trainer.update(st)
+                jax.block_until_ready(m)
+            assert not st.env_state.dyn.pos.sharding.is_fully_replicated
+            # packed scene assets have no batch axis → replicated operands
+            scene_leaf = st.env_state.scene.params
+            assert scene_leaf.sharding.is_fully_replicated
+        else:
+            st, m = trainer.update(st)
+        results[sharded] = float(m["actor_loss"])
+    assert np.isclose(results[True], results[False], rtol=1e-4), results

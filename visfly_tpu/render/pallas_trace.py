@@ -63,11 +63,15 @@ def prepare_kernel_scene(scene: PrimitiveScene,
     if objects is not None:
         obj_pos, obj_radius = objects  # (S, M, 3), (S, M)
         m = obj_pos.shape[1]
+        # active flag 2.0 marks DYNAMIC capsules: only these get origin-inside
+        # self-exclusion in the kernel (a drone must not see its own body);
+        # static scene capsules keep marched t=0-inside semantics so the
+        # kernel agrees with `sphere_trace._analytic_t0`
         obj_caps = jnp.concatenate(
             [
                 obj_pos, obj_pos,
                 obj_radius[..., None],
-                jnp.ones((obj_pos.shape[0], m, 1), obj_pos.dtype),
+                jnp.full((obj_pos.shape[0], m, 1), 2.0, obj_pos.dtype),
             ],
             axis=-1,
         )
@@ -187,6 +191,7 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
     # per-capsule origin-inside masks, computed once before the march
     cap_excl = []
+    cap_inside0 = []
     for k in range(kc):
         ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
         bx, by, bz = C(k, 3), C(k, 4), C(k, 5)
@@ -197,7 +202,12 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
         h = jnp.clip((pax * bax + pay * bay + paz * baz) * inv_denom, 0.0, 1.0)
         ex, ey, ez = pax - bax * h, pay - bay * h, paz - baz * h
         d0 = jnp.sqrt(ex * ex + ey * ey + ez * ez + 1e-12)
-        cap_excl.append(d0 <= rad + 0.05)
+        # only DYNAMIC capsules (active flag 2.0) self-exclude; static scene
+        # capsules must report inside rays as t=0 hits like the XLA path
+        inside = d0 <= rad + 0.05
+        dyn = C(k, 7) > 1.5
+        cap_excl.append(inside & dyn)
+        cap_inside0.append(inside & jnp.logical_not(dyn))
 
     def sdf(px, py, pz):
         dist = jnp.full((ROWS, LANES), BIG, jnp.float32)
@@ -327,9 +337,11 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
                 ti = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
                 tk = jnp.minimum(
                     tk, jnp.where((dd > 0.0) & (ti >= 0.0), ti, BIG))
-            # origin-inside capsules are invisible to this ray (cap_excl
-            # masks them out of the march SDF too)
+            # origin-inside DYNAMIC capsules are invisible to this ray
+            # (cap_excl masks them out of the march SDF too); origin-inside
+            # STATIC capsules hit at t=0 (marched/_analytic_t0 semantics)
             tk = jnp.where(cap_excl[k], BIG, tk)
+            tk = jnp.where(cap_inside0[k], 0.0, tk)
             tk = jnp.where(active > 0.5, tk, BIG)
             t0a = jnp.minimum(t0a, tk)
         t0 = jnp.minimum(t0a, max_depth)

@@ -135,11 +135,16 @@ def _analytic_t0(
     tf = jnp.minimum(f1, jnp.minimum(f2, f3))
     t_solid = jnp.where((tn <= tf) & (tf > 0.0), jnp.maximum(tn, 0.0), big)
     # inverted room (sign < 0): from inside (tn ≤ 0 < tf) the hit is the
-    # slab EXIT of the UNdilated box; an origin outside sits in the solid
-    # complement → 0
-    nr1, fr1 = slab(px, vx, he[None, :, 0])
-    nr2, fr2 = slab(py, vy, he[None, :, 1])
-    nr3, fr3 = slab(pz, vz, he[None, :, 2])
+    # slab EXIT of the radius-inflated box (the wall of sdf=(d_box−rad)·sign
+    # sits ``rad`` outside the he surface — exact on faces, overshoots only
+    # in rounded-corner regions; rooms normally have rad = 0, and general
+    # inverted rounded boxes trigger the pack_scenes warning). Matches the
+    # Pallas kernel's slab (`pallas_trace._trace_tile`); an origin outside
+    # sits in the solid complement → 0
+    Hr = he + rad[:, None]
+    nr1, fr1 = slab(px, vx, Hr[None, :, 0])
+    nr2, fr2 = slab(py, vy, Hr[None, :, 1])
+    nr3, fr3 = slab(pz, vz, Hr[None, :, 2])
     tnr = jnp.maximum(nr1, jnp.maximum(nr2, nr3))
     tfr = jnp.minimum(fr1, jnp.minimum(fr2, fr3))
     t_room = jnp.where(tnr <= 0.0, jnp.maximum(tfr, 0.0), 0.0)
@@ -318,7 +323,8 @@ def trace_grouped(
     analytic = mode == "analytic"
     if analytic:
         # exact candidates replace the march; refine_steps=0 is exact for
-        # every preset primitive (verified bitwise vs refine_steps=2) and
+        # every preset primitive (t within 1e-3 of refine_steps=2, hits
+        # identical — `test_analytic_kernel_matches_xla`) and
         # saves one culled-SDF eval per step per refine. Scenes hand-built
         # with GENERAL rounded boxes (he>0 AND radius>0 — `pack_scenes`
         # warns) need refine_steps≥4 to converge their lower-bound slab
@@ -535,6 +541,11 @@ def render_camera(
         t_init = None
         pixel_steps = n_steps
         tile = int(spec.get("tile", 1))
+        # analytic tracing discards warm starts (the closed-form candidate
+        # replaces t0 in both the XLA and Pallas sub-backends), so the cone
+        # prepass would be dead compute — skip it entirely
+        if trace_mode == "analytic":
+            tile = 1
         if tile > 1 and H % tile == 0 and W % tile == 0 and H >= tile:
             from .camera import tile_cones_body
             from ..core import quaternion as quat

@@ -181,16 +181,23 @@ def pack_scenes(specs: Sequence[SceneSpec], eps: float = 0.01,
         all_sems.append(np.asarray(sems, np.int32))
 
     for rows_i in all_rows:
-        rounded = ((rows_i[:, 10] < 0.5) & (rows_i[:, 9] > 0)
+        # any box-family row with BOTH half_extents>0 and radius>0 — solid
+        # (sign>0) or inverted room (sign<0) — is only a lower-bound slab
+        # candidate for the analytic tracers (and the two backends dilate
+        # the slab differently), so it needs refinement/marching
+        rounded = ((rows_i[:, 10] < 0.5)
                    & (rows_i[:, 6] > 1e-6) & (rows_i[:, 3:6].sum(-1) > 1e-6))
         if rounded.any():
             import warnings
 
+            inv = " (including an INVERTED rounded room)" if (
+                rounded & (rows_i[:, 9] < 0)).any() else ""
             warnings.warn(
                 "scene contains a GENERAL rounded box (half_extents>0 AND "
-                "radius>0): the default analytic tracer's candidate for it "
-                "is a lower bound — set sensor_kwargs analytic_refine>=4 "
-                "(or trace_mode='march') for accurate depth on it.",
+                f"radius>0){inv}: the default analytic tracer's candidate "
+                "for it is a lower bound — set sensor_kwargs "
+                "analytic_refine>=4 (or trace_mode='march') for accurate "
+                "depth on it.",
                 stacklevel=2)
 
     K = max(max(r.shape[0] for r in all_rows), min_k)

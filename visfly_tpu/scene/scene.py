@@ -465,6 +465,35 @@ def load_scenes_for_env(env):
         env._scene_specs = specs
         return _build_scene(env, specs)
 
+    # habitat-format composite scenes (stage + object placements resolved
+    # through a *.scene_dataset_config.json — `SceneManager.py:243-271,
+    # 893-929`): a scene_instance file, a directory of them (scene set /
+    # dataset rotation), or a dataset config listing them
+    from .habitat_dataset import is_habitat_scene_path
+
+    if is_habitat_scene_path(path):
+        from ..utils.dataloader import SimpleDataLoader
+        from .habitat_dataset import (HabitatDataset, find_dataset_config,
+                                      list_habitat_scenes,
+                                      load_habitat_scene)
+
+        if getattr(env, "_scene_loader", None) is None:
+            files = list_habitat_scenes(path)
+            if not files:
+                raise FileNotFoundError(f"no scene instances under {path}")
+            env._scene_loader = SimpleDataLoader(files, seed=seed)
+            cfg = (path if path.endswith(".scene_dataset_config.json")
+                   else find_dataset_config(files[0]))
+            env._habitat_dataset = HabitatDataset(cfg) if cfg else None
+        files = env._scene_loader.next(env.num_scene)
+        hab_kw = {k: kw[k] for k in
+                  ("spacing", "margin", "max_prims", "min_cover", "max_cells")
+                  if k in kw}
+        specs = [load_habitat_scene(f, env._habitat_dataset, **hab_kw)
+                 for f in files]
+        env._scene_specs = specs
+        return _build_scene(env, specs)
+
     # dataset directory of scene JSONs → round-robin loader (the reference's
     # SimpleDataLoader scene iteration, `SceneManager.py:826-891`)
     if os.path.isdir(path):
@@ -520,7 +549,18 @@ def swap_scene_for_env(env, scene_id: int):
         # imported mesh scenes are deterministic (every scene shares the
         # decomposed spec) — swapping one is the identity, not a re-roll
         return env.scene
-    if os.path.isdir(path):
+    from .habitat_dataset import is_habitat_scene_path
+
+    if is_habitat_scene_path(path):
+        from .habitat_dataset import load_habitat_scene
+
+        hab_kw = {k: kw[k] for k in
+                  ("spacing", "margin", "max_prims", "min_cover", "max_cells")
+                  if k in kw}
+        spec = load_habitat_scene(env._scene_loader.next(1)[0],
+                                  getattr(env, "_habitat_dataset", None),
+                                  **hab_kw)
+    elif os.path.isdir(path):
         spec = load_scene_spec(env._scene_loader.next(1)[0])
     else:
         env._scene_swap_count = getattr(env, "_scene_swap_count", 0) + 1
