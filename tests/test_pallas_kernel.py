@@ -49,7 +49,7 @@ def rays(n=TILE, seed=0):
 def test_kernel_matches_xla(interpret_pallas, scene):
     o, d = rays(2 * TILE)
     kscene = prepare_kernel_scene(scene)
-    t_k, hit_k = pallas_trace(kscene, o, d, n_steps=40)
+    t_k, hit_k, _ = pallas_trace(kscene, o, d, n_steps=40)
     t_x, hit_x = trace_grouped(scene, o, d, n_steps=40,
                                compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_x), atol=1e-4)
@@ -75,7 +75,7 @@ def test_custom_vjp_matches_ift(interpret_pallas, scene):
     t0 = jnp.zeros((1, TILE))
 
     def mean_depth(origins):
-        t, _ = pallas_trace_diff(kscene, origins, d, t0, 40, 20.0)
+        t, _, _ = pallas_trace_diff(kscene, origins, d, t0, 40, 20.0)
         return t.mean()
 
     g = jax.grad(mean_depth)(o)
@@ -85,8 +85,8 @@ def test_custom_vjp_matches_ift(interpret_pallas, scene):
     eps = 1e-3
     o_p = o.at[0, 0, 0].add(eps)
     o_m = o.at[0, 0, 0].add(-eps)
-    t_p, _ = pallas_trace_diff(kscene, o_p, d, t0, 40, 20.0)
-    t_m, _ = pallas_trace_diff(kscene, o_m, d, t0, 40, 20.0)
+    t_p, _, _ = pallas_trace_diff(kscene, o_p, d, t0, 40, 20.0)
+    t_m, _, _ = pallas_trace_diff(kscene, o_m, d, t0, 40, 20.0)
     fd = (t_p[0, 0] - t_m[0, 0]) / (2 * eps)
     an = g[0, 0, 0] * TILE  # undo the mean
     np.testing.assert_allclose(float(an), float(fd), atol=0.05)
@@ -101,8 +101,8 @@ def test_objects_append_as_capsules(interpret_pallas, scene):
     # a ray toward the object must now hit it
     o = jnp.asarray([[[0.0, 0.0, 1.5]]] ) * jnp.ones((1, TILE, 1))
     d = jnp.zeros((1, TILE, 3)).at[:, :, 0].set(1.0)
-    t_with, _ = pallas_trace(kscene_obj, o, d, n_steps=40)
-    t_without, _ = pallas_trace(kscene_plain, o, d, n_steps=40)
+    t_with, _, _ = pallas_trace(kscene_obj, o, d, n_steps=40)
+    t_without, _, _ = pallas_trace(kscene_plain, o, d, n_steps=40)
     assert float(t_with[0, 0]) < float(t_without[0, 0])
     np.testing.assert_allclose(float(t_with[0, 0]), 1.6, atol=0.05)
 
@@ -114,10 +114,10 @@ def test_component_path_matches_packed(interpret_pallas, scene):
 
     kscene = prepare_kernel_scene(scene)
     o, d = rays(2 * TILE, seed=5)
-    t_p, hit_p = pallas_trace(kscene, o, d, n_steps=40)
+    t_p, hit_p, _ = pallas_trace(kscene, o, d, n_steps=40)
     o_c = jnp.transpose(o, (2, 0, 1))  # (3, S, R)
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_c, hit_c = pallas_trace_c(kscene, o_c, d_c, n_steps=40)
+    t_c, hit_c, _ = pallas_trace_c(kscene, o_c, d_c, n_steps=40)
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_p), atol=1e-6)
     assert (np.asarray(hit_c) == np.asarray(hit_p)).all()
 
@@ -133,14 +133,14 @@ def test_component_path_vjp(interpret_pallas, scene):
     t0 = jnp.zeros((1, TILE))
 
     def mean_depth(oc):
-        t, _ = pallas_trace_diff_c(kscene, oc, d_c, t0, 40, 20.0)
+        t, _, _ = pallas_trace_diff_c(kscene, oc, d_c, t0, 40, 20.0)
         return t.mean()
 
     g = jax.grad(mean_depth)(o_c)
     assert np.isfinite(np.asarray(g)).all()
     eps = 1e-3
-    t_p, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(eps), d_c, t0, 40, 20.0)
-    t_m, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(-eps), d_c, t0, 40, 20.0)
+    t_p, _, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(eps), d_c, t0, 40, 20.0)
+    t_m, _, _ = pallas_trace_diff_c(kscene, o_c.at[0, 0, 0].add(-eps), d_c, t0, 40, 20.0)
     fd = (t_p[0, 0] - t_m[0, 0]) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 0, 0] * TILE), float(fd), atol=0.05)
 
@@ -155,8 +155,8 @@ def test_overrelaxed_march_converges(interpret_pallas, scene):
     o, d = rays(TILE, seed=11)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_p, hit_p = pallas_trace_c(kscene, o_c, d_c, n_steps=60)
-    t_o, hit_o = pallas_trace_c(kscene, o_c, d_c, n_steps=60, omega=1.5)
+    t_p, hit_p, _ = pallas_trace_c(kscene, o_c, d_c, n_steps=60)
+    t_o, hit_o, _ = pallas_trace_c(kscene, o_c, d_c, n_steps=60, omega=1.5)
     agree = np.asarray(hit_p) == np.asarray(hit_o)
     assert agree.mean() > 0.98
     err = np.abs(np.asarray(t_p) - np.asarray(t_o))[np.asarray(hit_p) & agree]
@@ -210,8 +210,8 @@ def test_culled_kernel_matches_unculled(interpret_pallas, scene):
     o, d = rays(2 * TILE, seed=11)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_u, hit_u = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=False)
-    t_c, hit_c = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=True)
+    t_u, hit_u, _ = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=False)
+    t_c, hit_c, _ = pallas_trace_c(kscene, o_c, d_c, n_steps=60, cull=True)
     both = np.asarray(hit_u) & np.asarray(hit_c)
     np.testing.assert_allclose(np.asarray(t_c)[both], np.asarray(t_u)[both],
                                atol=1e-3)
@@ -244,10 +244,10 @@ def test_frustum_cull_camera_tiles(interpret_pallas, scene):
         "frustum cull removed nothing"
     )
 
-    t_u, hit_u = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
-                                cull=False)
-    t_c, hit_c = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
-                                cull=True, img_w=64)
+    t_u, hit_u, _ = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
+                                   cull=False)
+    t_c, hit_c, _ = pallas_trace_c(kscene, o_full, d_full, n_steps=60,
+                                   cull=True, img_w=64)
     both = np.asarray(hit_u) & np.asarray(hit_c)
     np.testing.assert_allclose(np.asarray(t_c)[both], np.asarray(t_u)[both],
                                atol=1e-3)
@@ -298,8 +298,8 @@ def test_analytic_kernel_matches_xla(interpret_pallas, scene, n_refine):
     oc = jnp.transpose(o, (2, 0, 1))
     dc = jnp.transpose(d, (2, 0, 1))
     for cull in (False, True):
-        t_k, hit_k = pallas_trace_c(ks, oc, dc, None, analytic=True,
-                                    n_refine=n_refine, cull=cull)
+        t_k, hit_k, kid_k = pallas_trace_c(ks, oc, dc, None, analytic=True,
+                                           n_refine=n_refine, cull=cull)
         np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_k))
         np.testing.assert_allclose(np.asarray(t_x), np.asarray(t_k),
                                    atol=1e-3)
@@ -358,3 +358,55 @@ def test_analytic_render_gradients_flow(scene):
     g = jax.grad(loss)(jnp.asarray([[1.0, 0.0, 1.5]]))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 1e-3
+
+
+def test_analytic_kernel_reports_winning_primitive(interpret_pallas, scene):
+    """kid output: at every hit pixel the reported id must be the primitive
+    whose surface distance at the hit point is (near-)zero — i.e. the XLA
+    argmin winner; misses report −1."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_c
+    from visfly_tpu.scene.prim_scene import prim_distances
+
+    ks = prepare_kernel_scene(scene)
+    o, d = rays(2 * TILE, seed=13)
+    oc = jnp.transpose(o, (2, 0, 1))
+    dc = jnp.transpose(d, (2, 0, 1))
+    for cull in (False, True):
+        t_k, hit_k, kid_k = pallas_trace_c(ks, oc, dc, None, analytic=True,
+                                           n_refine=0, cull=cull)
+        t_k, hit_k, kid_k = (np.asarray(t_k)[0], np.asarray(hit_k)[0],
+                             np.asarray(kid_k)[0].astype(int))
+        p_hit = np.asarray(o)[0] + np.asarray(d)[0] * t_k[:, None]
+        dists = np.asarray(prim_distances(scene.params[0],
+                                          jnp.asarray(p_hit)))  # (R, K)
+        assert (kid_k[~hit_k] == -1).all()
+        hits = np.where(hit_k)[0]
+        assert len(hits) > 50
+        # winner's distance at the hit point ≈ 0 (within the march epsilon
+        # + candidate tolerance); ids in range
+        assert (kid_k[hits] >= 0).all()
+        assert (kid_k[hits] < dists.shape[1]).all()
+        sel = np.abs(dists[hits, kid_k[hits]])
+        assert np.percentile(sel, 99) < 0.05, np.percentile(sel, 99)
+
+
+def test_indexed_shading_matches_argmin_shading(interpret_pallas, scene):
+    """Color/semantic via the kernel-reported winner ≡ the all-K argmin
+    shading path on every hit pixel (edge ties aside)."""
+    from visfly_tpu.render.pallas_trace import pallas_trace_c
+    from visfly_tpu.render.sphere_trace import (_shade_primitive,
+                                                _shade_primitive_indexed)
+
+    ks = prepare_kernel_scene(scene)
+    o, d = rays(2 * TILE, seed=17)
+    oc = jnp.transpose(o, (2, 0, 1))
+    dc = jnp.transpose(d, (2, 0, 1))
+    t, hit, kid = pallas_trace_c(ks, oc, dc, None, analytic=True,
+                                 n_refine=0, cull=True)
+    p_hit = o + d * t[..., None]
+    for want in ("color", "semantic"):
+        a = np.asarray(_shade_primitive(scene, p_hit, hit, want))
+        b = np.asarray(_shade_primitive_indexed(scene, p_hit, hit, kid, want))
+        match = np.isclose(a, b, atol=1e-3).all(axis=-1) if want == "color" \
+            else np.isclose(a, b, atol=1e-3)
+        assert match.mean() > 0.98, (want, match.mean())

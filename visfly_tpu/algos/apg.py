@@ -84,7 +84,15 @@ class APG(TrainerMixin):
             return (env_state, out.obs, alive, total), out.reward
 
         if self.remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            # save (don't replay) the named Pallas-kernel outputs: the
+            # rematerialised backward pass must never contain the Mosaic
+            # kernel forward (pathological Mosaic compile under grad+remat;
+            # XLA-rendered and non-visual envs have no such names — policy
+            # is then equivalent to the default save-nothing remat)
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "pallas_render"))
         (env_state, obs, _a, total), rewards = jax.lax.scan(
             body, (env_state, obs, jnp.ones((n,)), jnp.zeros((n,))), None,
             length=self.H,

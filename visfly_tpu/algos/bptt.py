@@ -146,7 +146,15 @@ class BPTT(TrainerMixin):
             return (env_state, out.obs, discount, key, loss, hidden), metrics
 
         if self.remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            # save (don't replay) the named Pallas-kernel outputs: the
+            # rematerialised backward pass must never contain the Mosaic
+            # kernel forward (pathological Mosaic compile under grad+remat;
+            # XLA-rendered and non-visual envs have no such names — policy
+            # is then equivalent to the default save-nothing remat)
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "pallas_render"))
 
         discount0 = jnp.ones((n,), jnp.float32)
         loss0 = jnp.zeros((n,), jnp.float32)

@@ -142,7 +142,15 @@ class SHAC(TrainerMixin):
             return (env_state, out.obs, discount, key, loss), tape
 
         if self.remat:
-            body = jax.checkpoint(body, prevent_cse=False)
+            # save (don't replay) the named Pallas-kernel outputs: the
+            # rematerialised backward pass must never contain the Mosaic
+            # kernel forward (pathological Mosaic compile under grad+remat;
+            # XLA-rendered and non-visual envs have no such names — policy
+            # is then equivalent to the default save-nothing remat)
+            body = jax.checkpoint(
+                body, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "pallas_render"))
 
         carry0 = (
             env_state, obs,

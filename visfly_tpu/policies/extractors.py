@@ -298,12 +298,22 @@ class MultiInputExtractor(nn.Module):
             else:
                 restack = None
             if "backbone" in spec:
-                # torchvision-layout backbone (resnet18/34) with optional
-                # offline pretrained import — see policies/torch_backbones.py
+                # torchvision-layout backbones with optional offline
+                # pretrained import (the reference's backbone_alias table,
+                # `extractors.py:501-512`): resnet18/34 →
+                # policies/torch_backbones.py; mobilenet_s/l +
+                # efficientnet_s/m/l → policies/compact_backbones.py
+                from .compact_backbones import COMPACT_BACKBONES
                 from .torch_backbones import TorchResNet
 
-                f = TorchResNet(arch=spec["backbone"], dtype=self.dtype,
-                                name=f"{key}_extractor")(x)
+                bb = spec["backbone"]
+                if bb in COMPACT_BACKBONES:
+                    cls, bb_kw = COMPACT_BACKBONES[bb]
+                    f = cls(dtype=self.dtype, name=f"{key}_extractor",
+                            **bb_kw)(x)
+                else:
+                    f = TorchResNet(arch=bb, dtype=self.dtype,
+                                    name=f"{key}_extractor")(x)
                 if spec.get("out"):
                     f = nn.relu(nn.Dense(spec["out"], dtype=self.dtype,
                                          name=f"{key}_proj")(f))

@@ -39,8 +39,8 @@ BIG = 1e9
 
 class KernelScene(NamedTuple):
     """Family-split scene parameters for the kernel. Boxes: (S, KB, 12) rows
-    [cx cy cz hx hy hz r cos sin sign active _]; capsules: (S, KC, 8) rows
-    [ax ay az bx by bz r active]. (The hit epsilon is NOT part of this
+    [cx cy cz hx hy hz r cos sin sign active _ id]; capsules: (S, KC, 9) rows
+    [ax ay az bx by bz r active id]. (The hit epsilon is NOT part of this
     pytree — as a leaf it would be traced through custom_vjp and the kernel
     cannot capture traced scalars; pass it as the ``eps`` kwarg.)"""
 
@@ -66,12 +66,14 @@ def prepare_kernel_scene(scene: PrimitiveScene,
         # active flag 2.0 marks DYNAMIC capsules: only these get origin-inside
         # self-exclusion in the kernel (a drone must not see its own body);
         # static scene capsules keep marched t=0-inside semantics so the
-        # kernel agrees with `sphere_trace._analytic_t0`
+        # kernel agrees with `sphere_trace._analytic_t0`. Their id column is
+        # −1: dynamic objects have no row in the scene color/semantic tables.
         obj_caps = jnp.concatenate(
             [
                 obj_pos, obj_pos,
                 obj_radius[..., None],
                 jnp.full((obj_pos.shape[0], m, 1), 2.0, obj_pos.dtype),
+                jnp.full((obj_pos.shape[0], m, 1), -1.0, obj_pos.dtype),
             ],
             axis=-1,
         )
@@ -80,15 +82,15 @@ def prepare_kernel_scene(scene: PrimitiveScene,
 
 
 def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
-                  *, kb: int, kc: int, n_steps: int, max_depth: float,
-                  eps: float):
+                  kid_ref, *, kb: int, kc: int, n_steps: int,
+                  max_depth: float, eps: float):
     """One ray tile: o_ref/d_ref blocks are (1, 1, 3, ROWS, LANES); params in
     SMEM blocks (1, K, cols)."""
     _trace_tile(
         box_ref, cap_ref,
         o_ref[0, 0, 0], o_ref[0, 0, 1], o_ref[0, 0, 2],
         d_ref[0, 0, 0], d_ref[0, 0, 1], d_ref[0, 0, 2],
-        t0_ref[0, 0], t_ref, hit_ref,
+        t0_ref[0, 0], t_ref, hit_ref, kid_ref,
         kb=kb, kc=kc, n_steps=n_steps, max_depth=max_depth, eps=eps,
     )
 
@@ -168,7 +170,7 @@ def _march(sdf, t0, t_ref, hit_ref, *, n_steps: int, max_depth: float,
 
 
 def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
-                *, kb: int, kc: int, n_steps: int, max_depth: float,
+                kid_ref, *, kb: int, kc: int, n_steps: int, max_depth: float,
                 eps: float, omega: float = 1.0, prefix=(0,),
                 analytic: bool = False, n_refine: int = 2):
     """Shared tile body: SMEM scalar params, (ROWS, LANES) ray components.
@@ -261,6 +263,9 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
     if analytic:
         t0a = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        # winning-primitive id (original packed row, from the id column) —
+        # lets shading skip the per-pixel all-K distance pass in XLA
+        kbest = jnp.full((ROWS, LANES), -1.0, jnp.float32)
         for k in range(kb):
             cx, cy_, cz = B(k, 0), B(k, 1), B(k, 2)
             hx, hy, hz = B(k, 3), B(k, 4), B(k, 5)
@@ -306,6 +311,7 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             tk = jnp.where(sign < 0.0, t_room,
                            jnp.where(hx + hy + hz < 1e-6, t_sph, t_solid))
             tk = jnp.where(active > 0.5, tk, BIG)
+            kbest = jnp.where(tk < t0a, B(k, 12), kbest)
             t0a = jnp.minimum(t0a, tk)
         for k in range(kc):
             ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
@@ -343,11 +349,17 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             tk = jnp.where(cap_excl[k], BIG, tk)
             tk = jnp.where(cap_inside0[k], 0.0, tk)
             tk = jnp.where(active > 0.5, tk, BIG)
+            kbest = jnp.where(tk < t0a, C(k, 8), kbest)
             t0a = jnp.minimum(t0a, tk)
         t0 = jnp.minimum(t0a, max_depth)
+        kid_ref[0, 0] = jnp.where(t0a < max_depth, kbest, -1.0)
         n_steps = n_refine
         omega = 1.0
 
+    if not analytic:
+        # marched rays don't track the winner — shading falls back to the
+        # XLA all-K argmin (kid −1 == "unknown")
+        kid_ref[0, 0] = jnp.full((ROWS, LANES), -1.0, jnp.float32)
     _march(lambda t: sdf(ox + dx * t, oy + dy * t, oz + dz * t),
            t0, t_ref, hit_ref, n_steps=n_steps, max_depth=max_depth,
            eps=eps, omega=omega,
@@ -356,7 +368,7 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
 def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                         t0_ref, t_ref, hit_ref,
+                         t0_ref, t_ref, hit_ref, kid_ref,
                          *, kb: int, kc: int, kb_c: int, kc_c: int,
                          n_steps: int, max_depth: float, eps: float,
                          omega: float = 1.0, analytic: bool = False,
@@ -381,7 +393,7 @@ def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
 
     args = (ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
             dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
-            t0_ref[0, 0], t_ref, hit_ref)
+            t0_ref[0, 0], t_ref, hit_ref, kid_ref)
 
     @pl.when(fits)
     def _fast():
@@ -411,8 +423,9 @@ def cull_compact(kscene: KernelScene, origins_c: Array, dirs_c: Array,
     Only the first ``kb_c``/``kc_c`` compacted rows are materialised — the
     kernel's fast path capacity; tiles with more actives use the full set.
 
-    Returns (boxes (S,T,kb_c,12), n_boxes (S,T) i32,
-             capsules (S,T,kc_c,8), n_caps (S,T) i32)."""
+    Returns (boxes (S,T,kb_c,13), n_boxes (S,T) i32,
+             capsules (S,T,kc_c,9), n_caps (S,T) i32) — trailing id columns
+    ride along through the one-hot compaction."""
     boxes, caps = kscene.boxes, kscene.capsules
     S, KB = boxes.shape[0], boxes.shape[1]
     KC = caps.shape[1]
@@ -520,8 +533,9 @@ def pallas_trace(
     n_steps: int = 40,
     max_depth: float = 20.0,
     eps: float = 0.01,
-) -> Tuple[Array, Array]:
-    """Returns (t (S, R), hit (S, R))."""
+) -> Tuple[Array, Array, Array]:
+    """Returns (t (S, R), hit (S, R), kid (S, R) — winning primitive's
+    original packed-row id, −1 for misses/march-mode/dynamic objects)."""
     S, R, _ = origins.shape
     if R % TILE:
         raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
@@ -544,6 +558,8 @@ def pallas_trace(
         else t_init.reshape(S, tiles, ROWS, LANES)
     )
 
+    cb = kscene.boxes.shape[-1]
+    cc = kscene.capsules.shape[-1]
     kernel = functools.partial(
         _trace_kernel, kb=kb, kc=kc, n_steps=n_steps,
         max_depth=max_depth, eps=eps,
@@ -552,14 +568,17 @@ def pallas_trace(
     out_shape = [
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
     ]
-    t, hit = pl.pallas_call(
+    ray_out = pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    t, hit, kid = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, kb, 12), lambda s, i: (s, 0, 0),
+            pl.BlockSpec((1, kb, cb), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kc, 8), lambda s, i: (s, 0, 0),
+            pl.BlockSpec((1, kc, cc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 3, ROWS, LANES), lambda s, i: (s, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -568,23 +587,19 @@ def pallas_trace(
             pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ray_out, ray_out, ray_out],
         out_shape=out_shape,
     )(kscene.boxes, kscene.capsules, o_t, d_t, t0)
 
     return (
         t.reshape(S, R),
         hit.reshape(S, R) > 0.5,
+        kid.reshape(S, R),
     )
 
 
 def _trace_kernel_c(box_ref, cap_ref, ox_ref, oy_ref, oz_ref,
-                    dx_ref, dy_ref, dz_ref, t0_ref, t_ref, hit_ref,
+                    dx_ref, dy_ref, dz_ref, t0_ref, t_ref, hit_ref, kid_ref,
                     *, kb: int, kc: int, n_steps: int, max_depth: float,
                     eps: float, omega: float = 1.0, analytic: bool = False,
                     n_refine: int = 2):
@@ -596,7 +611,7 @@ def _trace_kernel_c(box_ref, cap_ref, ox_ref, oy_ref, oz_ref,
         box_ref, cap_ref,
         ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
         dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
-        t0_ref[0, 0], t_ref, hit_ref,
+        t0_ref[0, 0], t_ref, hit_ref, kid_ref,
         kb=kb, kc=kc, n_steps=n_steps, max_depth=max_depth, eps=eps,
         omega=omega, analytic=analytic, n_refine=n_refine,
     )
@@ -617,7 +632,7 @@ def pallas_trace_c(
     kc_c: Optional[int] = None,
     analytic: bool = False,
     n_refine: int = 2,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """Component-major entry: no trailing-dim-3 arrays and no transposes —
     each component slices out of (3, S, R) and reshapes (minor dims intact)
     into (S, tiles, ROWS, LANES) blocks. ``cull=True`` (default) runs the
@@ -643,12 +658,15 @@ def pallas_trace_c(
     out_shape = [
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
         jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
     ]
     rays = (
         comp(origins_c, 0), comp(origins_c, 1), comp(origins_c, 2),
         comp(dirs_c, 0), comp(dirs_c, 1), comp(dirs_c, 2),
         t0,
     )
+    cb = kscene.boxes.shape[-1]
+    cc = kscene.capsules.shape[-1]
 
     if cull:
         # fast-path capacities: half the rows, floored at 4 (measured sweet
@@ -664,50 +682,51 @@ def pallas_trace_c(
             n_steps=n_steps, max_depth=max_depth, eps=eps, omega=omega,
             analytic=analytic, n_refine=n_refine,
         )
-        t, hit = pl.pallas_call(
+        t, hit, kid = pl.pallas_call(
             kernel,
             grid=(S, tiles),
             in_specs=[
-                pl.BlockSpec((1, kb, 12), lambda s, i: (s, 0, 0),
+                pl.BlockSpec((1, kb, cb), lambda s, i: (s, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, kc, 8), lambda s, i: (s, 0, 0),
+                pl.BlockSpec((1, kc, cc), lambda s, i: (s, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, kb_c, 12), lambda s, i: (s, i, 0, 0),
+                pl.BlockSpec((1, 1, kb_c, cb), lambda s, i: (s, i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (S, T) counts
-                pl.BlockSpec((1, 1, kc_c, 8), lambda s, i: (s, i, 0, 0),
+                pl.BlockSpec((1, 1, kc_c, cc), lambda s, i: (s, i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec, ray_spec,
                 ray_spec,
             ],
-            out_specs=[ray_spec, ray_spec],
+            out_specs=[ray_spec, ray_spec, ray_spec],
             out_shape=out_shape,
         )(kscene.boxes, kscene.capsules, boxc, nb, capc, nc, *rays)
-        return t.reshape(S, R), hit.reshape(S, R) > 0.5
+        return (t.reshape(S, R), hit.reshape(S, R) > 0.5,
+                kid.reshape(S, R))
 
     kernel = functools.partial(
         _trace_kernel_c, kb=kb, kc=kc, n_steps=n_steps,
         max_depth=max_depth, eps=eps, omega=omega, analytic=analytic,
         n_refine=n_refine,
     )
-    t, hit = pl.pallas_call(
+    t, hit, kid = pl.pallas_call(
         kernel,
         grid=(S, tiles),
         in_specs=[
-            pl.BlockSpec((1, kb, 12), lambda s, i: (s, 0, 0),
+            pl.BlockSpec((1, kb, cb), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kc, 8), lambda s, i: (s, 0, 0),
+            pl.BlockSpec((1, kc, cc), lambda s, i: (s, 0, 0),
                          memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec,  # ox, oy, oz
             ray_spec, ray_spec, ray_spec,  # dx, dy, dz
             ray_spec,  # t_init
         ],
-        out_specs=[ray_spec, ray_spec],
+        out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=out_shape,
     )(kscene.boxes, kscene.capsules, *rays)
-    return t.reshape(S, R), hit.reshape(S, R) > 0.5
+    return t.reshape(S, R), hit.reshape(S, R) > 0.5, kid.reshape(S, R)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
@@ -721,16 +740,17 @@ def pallas_trace_diff_c(kscene, origins_c, dirs_c, t_init, n_steps=40,
 
 def _ptdc_fwd(kscene, origins_c, dirs_c, t_init, n_steps, max_depth, omega,
               cull, img_w, analytic, n_refine):
-    t, hit = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                            max_depth, omega=omega, cull=cull, img_w=img_w,
-                            analytic=analytic, n_refine=n_refine)
-    return (t, hit), (kscene, origins_c, dirs_c, t, hit)
+    t, hit, kid = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
+                                 max_depth, omega=omega, cull=cull,
+                                 img_w=img_w, analytic=analytic,
+                                 n_refine=n_refine)
+    return (t, hit, kid), (kscene, origins_c, dirs_c, t, hit)
 
 
 def _ptdc_bwd(n_steps, max_depth, omega, cull, img_w, analytic, n_refine,
               residuals, cotangents):
     kscene, origins_c, dirs_c, t, hit = residuals
-    g_t, _g_hit = cotangents
+    g_t, _g_hit, _g_kid = cotangents  # kid is a discrete label: no gradient
     # backward pass converts to (S, R, 3) once — acceptable off the hot path
     o = jnp.transpose(origins_c, (1, 2, 0))
     d = jnp.transpose(dirs_c, (1, 2, 0))
@@ -764,13 +784,15 @@ pallas_trace_diff_c.defvjp(_ptdc_fwd, _ptdc_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def pallas_trace_diff(kscene, origins, dirs, t_init, n_steps=40,
                       max_depth=20.0):
-    t, hit = pallas_trace(kscene, origins, dirs, t_init, n_steps, max_depth)
-    return t, hit
+    t, hit, kid = pallas_trace(kscene, origins, dirs, t_init, n_steps,
+                               max_depth)
+    return t, hit, kid
 
 
 def _ptd_fwd(kscene, origins, dirs, t_init, n_steps, max_depth):
-    t, hit = pallas_trace(kscene, origins, dirs, t_init, n_steps, max_depth)
-    return (t, hit), (kscene, origins, dirs, t, hit)
+    t, hit, kid = pallas_trace(kscene, origins, dirs, t_init, n_steps,
+                               max_depth)
+    return (t, hit, kid), (kscene, origins, dirs, t, hit)
 
 
 def _kernel_scene_sdf(kscene: KernelScene, p: Array) -> Array:
@@ -779,8 +801,8 @@ def _kernel_scene_sdf(kscene: KernelScene, p: Array) -> Array:
     from ..scene.prim_scene import prim_sdf
 
     def per_scene(boxes, caps, pts):
-        # boxes rows are already packed-primitive rows (12 cols)
-        d = prim_sdf(boxes, pts)
+        # box rows are packed-primitive rows + the trailing id column
+        d = prim_sdf(boxes[:, :12], pts)
         a = caps[:, 0:3]
         b = caps[:, 3:6]
         r = caps[:, 6]
@@ -799,7 +821,7 @@ def _kernel_scene_sdf(kscene: KernelScene, p: Array) -> Array:
 
 def _ptd_bwd(n_steps, max_depth, residuals, cotangents):
     kscene, origins, dirs, t, hit = residuals
-    g_t, _g_hit = cotangents
+    g_t, _g_hit, _g_kid = cotangents  # kid is a discrete label: no gradient
     p_hit = origins + dirs * t[..., None]
     n = jax.grad(lambda q: jnp.sum(_kernel_scene_sdf(kscene, q)))(p_hit)
     n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)

@@ -451,6 +451,40 @@ def _shade_primitive(
     return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic, p_hit, hit)
 
 
+def _shade_primitive_indexed(
+    scene: PrimitiveScene,
+    p_hit: Array,  # (S, R, 3)
+    hit: Array,  # (S, R)
+    kid: Array,  # (S, R) winning primitive id from the kernel (−1 = none)
+    want: str,
+) -> Array:
+    """Shading when the trace kernel already reported the winning primitive:
+    ~K× cheaper than :func:`_shade_primitive` — no per-pixel all-K distance
+    pass, just one-hot row selection (MXU) + the closed-form normal.
+    Pixels whose winner is a dynamic object (kid −1) have no row in the
+    color/semantic tables and shade to 0 (the reference renders imported
+    drone models there; primitive scenes have no such asset)."""
+    dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def per_scene(params, colors, semantic, pts, hit_s, kid_s):
+        K = params.shape[0]
+        onehot = (kid_s[:, None] == jnp.arange(K, dtype=kid_s.dtype)).astype(
+            pts.dtype
+        )
+        if want == "semantic":
+            sem = dot(onehot, semantic.astype(pts.dtype))
+            return jnp.where(hit_s, sem, 0.0)
+        albedo = dot(onehot, colors)  # (R, 3)
+        prow = dot(onehot, params)  # (R, 12)
+        n = prim_normal_single(prow, pts)
+        lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
+        shade = 0.35 + 0.65 * lam
+        return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)
+
+    return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic,
+                               p_hit, hit, kid)
+
+
 def render_camera(
     data,
     sid: Array,
@@ -500,7 +534,7 @@ def render_camera(
             d_full = d_c.reshape(3, S, R)
             kscene = prepare_kernel_scene(data, objects)
             t0 = jnp.zeros((S, R), o_full.dtype)
-            t, hit = pallas_trace_diff_c(
+            t, hit, kid = pallas_trace_diff_c(
                 kscene, o_full, d_full, t0,
                 int(spec.get("trace_steps_override", n_steps)), max_depth,
                 float(spec.get("march_omega", 1.0)),
@@ -511,6 +545,15 @@ def render_camera(
                 trace_mode == "analytic",
                 int(spec.get("analytic_refine", 0)),
             )
+            # named for remat policies: trainers save the kernel outputs so
+            # a jax.checkpoint'd backward pass never replays the Mosaic
+            # kernel (grad+remat+scan over its forward is a pathological
+            # Mosaic compile — see DEVIATIONS.md)
+            from jax.ad_checkpoint import checkpoint_name
+
+            t = checkpoint_name(t, "pallas_render")
+            hit = checkpoint_name(hit, "pallas_render")
+            kid = checkpoint_name(kid, "pallas_render")
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
             if stype == "depth":
@@ -521,7 +564,13 @@ def render_camera(
             o_pm = jnp.transpose(o_full, (1, 2, 0))
             d_pm = jnp.transpose(d_full, (1, 2, 0))
             p_hit = o_pm + d_pm * t[..., None]
-            shaded = _shade_primitive(data, p_hit, hit, stype)
+            if trace_mode == "analytic":
+                # the kernel reported the winning primitive — shading skips
+                # the per-pixel all-K distance pass entirely
+                shaded = _shade_primitive_indexed(data, p_hit, hit, kid,
+                                                  stype)
+            else:
+                shaded = _shade_primitive(data, p_hit, hit, stype)
             if stype == "semantic":
                 sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
                 return {"semantic": sem[:, None, :, :]}
@@ -586,8 +635,12 @@ def render_camera(
 
             kscene = prepare_kernel_scene(data, objects)
             t0 = jnp.zeros((S, R), o_g.dtype) if t_init is None else t_init
-            t, hit = pallas_trace_diff(kscene, o_g, d_g, t0, pixel_steps,
-                                       max_depth)
+            t, hit, _kid = pallas_trace_diff(kscene, o_g, d_g, t0,
+                                             pixel_steps, max_depth)
+            from jax.ad_checkpoint import checkpoint_name
+
+            t = checkpoint_name(t, "pallas_render")
+            hit = checkpoint_name(hit, "pallas_render")
         else:
             compute_dtype = jnp.dtype(spec.get("render_dtype", "bfloat16"))
             trace_mode = str(spec.get("trace_mode", "analytic"))

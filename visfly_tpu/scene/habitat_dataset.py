@@ -133,17 +133,29 @@ def find_dataset_config(start: str) -> Optional[str]:
     return None
 
 
+def _is_habitat_instance_file(path: str) -> bool:
+    """True for HABITAT-schema scene instances (stage/object placements);
+    the repo's own procedural dataset files reuse the same suffix but carry
+    a ``primitives`` list instead (`scene.generate_scene_dataset`)."""
+    try:
+        doc = _read_json(path)
+    except (OSError, ValueError):
+        return False
+    return isinstance(doc, dict) and "primitives" not in doc and (
+        "stage_instance" in doc or "object_instances" in doc)
+
+
 def is_habitat_scene_path(path: str) -> bool:
     if not isinstance(path, str):
         return False
     if path.endswith(".scene_instance.json"):
-        return os.path.isfile(path)
+        return os.path.isfile(path) and _is_habitat_instance_file(path)
     if path.endswith(".scene_dataset_config.json"):
         return os.path.isfile(path)
     if os.path.isdir(path):
-        return bool(glob.glob(
-            os.path.join(path, "**", "*.scene_instance.json"),
-            recursive=True))
+        hits = glob.glob(os.path.join(path, "**", "*.scene_instance.json"),
+                         recursive=True)
+        return bool(hits) and _is_habitat_instance_file(sorted(hits)[0])
     return False
 
 

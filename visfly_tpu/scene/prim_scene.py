@@ -45,6 +45,9 @@ BIG = 1e9
 def _family_split(params: np.ndarray, min_kb: int = 0, min_kc: int = 0) -> tuple:
     """Split packed (S, K, 12) rows into box/capsule arrays for the kernel,
     padding counts up to multiples of 4 (shape-stable across rotations).
+    A trailing column carries each row's ORIGINAL packed index (boxes col
+    12, capsules col 8) so the kernel can report the winning primitive for
+    shading without re-evaluating all K distances in XLA.
     ``min_kb``/``min_kc`` floor the padded sizes so a per-scene swap
     (reset_env_by_id) keeps the shapes of an existing compiled program."""
     S = params.shape[0]
@@ -53,11 +56,15 @@ def _family_split(params: np.ndarray, min_kb: int = 0, min_kc: int = 0) -> tuple
         rows = params[s]
         active = rows[:, 11] > 0.5
         fam = rows[:, 10]
-        boxes_per.append(rows[active & (fam < 0.5)])
-        caps = rows[active & (fam >= 0.5)]
+        idx = np.arange(rows.shape[0], dtype=np.float32)[:, None]
+        bsel = active & (fam < 0.5)
+        boxes_per.append(np.concatenate([rows[bsel], idx[bsel]], axis=1))
+        csel = active & (fam >= 0.5)
+        caps = rows[csel]
         caps_per.append(
             np.concatenate(
-                [caps[:, 0:6], caps[:, 6:7], np.ones((len(caps), 1), np.float32)],
+                [caps[:, 0:6], caps[:, 6:7],
+                 np.ones((len(caps), 1), np.float32), idx[csel]],
                 axis=1,
             )
         )
@@ -67,8 +74,8 @@ def _family_split(params: np.ndarray, min_kb: int = 0, min_kc: int = 0) -> tuple
 
     kb = pad4(max(max(len(b) for b in boxes_per), min_kb))
     kc = pad4(max(max(len(c) for c in caps_per), min_kc))
-    boxes = np.zeros((S, kb, 12), np.float32)
-    capsules = np.zeros((S, kc, 8), np.float32)
+    boxes = np.zeros((S, kb, 13), np.float32)
+    capsules = np.zeros((S, kc, 9), np.float32)
     for s in range(S):
         if len(boxes_per[s]):
             boxes[s, : len(boxes_per[s])] = boxes_per[s]
@@ -84,8 +91,9 @@ class PrimitiveScene(NamedTuple):
     bbox: Array  # (2, 3)
     eps: Array  # () nominal surface epsilon
     # family-split views for the Pallas trace kernel (padded to ×4 buckets so
-    # scene rotation rarely changes shapes): boxes (S, KB, 12), capsules
-    # (S, KC, 8) rows [ax ay az bx by bz r active]
+    # scene rotation rarely changes shapes): boxes (S, KB, 13) rows
+    # [… 12 packed cols …, orig_row_id], capsules (S, KC, 9) rows
+    # [ax ay az bx by bz r active orig_row_id]
     boxes: Any = ()
     capsules: Any = ()
 
