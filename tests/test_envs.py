@@ -183,3 +183,27 @@ def test_catch_env_ballistics_and_training():
     st, m = tr.update(st)
     assert np.isfinite(float(m["actor_loss"]))
     assert float(m["grad_norm"]) > 0
+
+
+def test_navigation_indiv_reward_telemetry():
+    """indiv_reward=True returns the reward as named terms; the base env
+    logs them as info['extra_*'] and they sum to the scalar reward
+    (the reference's _indiv_rewards accounting, droneGymEnv.py:177-185)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visfly_tpu.envs import NavigationEnv
+
+    env = NavigationEnv(
+        num_agent_per_scene=4, visual=False, indiv_reward=True,
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 1.0, 0.5]}}
+        ]}},
+        max_episode_steps=8)
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    st, out = env.step(st, jnp.zeros((4, 4)))
+    extras = {k: np.asarray(v) for k, v in out.info.items()
+              if k.startswith("extra_")}
+    assert {"extra_approach", "extra_col_dis", "extra_success"} <= set(extras)
+    np.testing.assert_allclose(np.asarray(out.reward),
+                               sum(extras.values()), rtol=1e-5)

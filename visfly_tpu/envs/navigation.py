@@ -30,11 +30,16 @@ class NavigationEnv(DroneGymEnv):
     """Depth+state+target navigation (`NavigationEnv.py:27-99`)."""
 
     def __init__(self, *args, target: Optional[Array] = None,
-                 max_episode_steps: int = 256, **kwargs):
+                 max_episode_steps: int = 256,
+                 indiv_reward: bool = False, **kwargs):
         super().__init__(*args, max_episode_steps=max_episode_steps, **kwargs)
         t = jnp.asarray([9.0, 0.0, 1.0] if target is None else target, self.dtype)
         self.target = jnp.tile(t.reshape(1, -1), (self.num_envs, 1))
         self.success_radius = 0.5
+        # per-term reward telemetry: return the reward as a dict so the base
+        # env logs each component into info["extra_*"] — the reference's
+        # `_indiv_rewards` episode accounting (`droneGymEnv.py:177-185`)
+        self.indiv_reward = indiv_reward
 
     def get_observation(self, state: EnvState, sensor_obs) -> Dict[str, Array]:
         obs = {"state": self.state_obs(state), "target": self.target}
@@ -46,7 +51,7 @@ class NavigationEnv(DroneGymEnv):
         d = safe_norm(state.dyn.pos - self.target, axis=-1)
         return d <= self.success_radius
 
-    def get_reward(self, state: EnvState) -> Array:
+    def get_reward(self, state: EnvState):
         """Approach-velocity + view-cone + collision-potential shaping with a
         remaining-steps success bonus (`NavigationEnv.py:85-99`)."""
         pos = state.dyn.pos
@@ -72,19 +77,25 @@ class NavigationEnv(DroneGymEnv):
             jnp.sum(col_vec * vel, axis=-1) / (1e-6 + col_dis), 0.0
         )
 
-        return (
-            approach * 0.01
-            + view_pen * -0.01
-            + safe_norm(state.dyn.q - q_ref, axis=-1) * -0.00001
-            + vel_norm * -0.002
-            + safe_norm(omega, axis=-1) * -0.002
-            + 1.0 / (col_dis + 0.2) * -0.01
-            + jnp.maximum(1.0 - col_dis, 0.0) * col_closing * -0.005
-            + state.success
+        terms = {
+            "approach": approach * 0.01,
+            "view": view_pen * -0.01,
+            "upright": safe_norm(state.dyn.q - q_ref, axis=-1) * -0.00001,
+            "vel": vel_norm * -0.002,
+            "omega": safe_norm(omega, axis=-1) * -0.002,
+            "col_dis": 1.0 / (col_dis + 0.2) * -0.01,
+            "col_closing": (
+                jnp.maximum(1.0 - col_dis, 0.0) * col_closing * -0.005
+            ),
+            "success": state.success
             * (self.max_episode_steps - state.step_count)
             * 0.1
-            * (0.2 + 0.8 / (1.0 + vel_norm))
-        )
+            * (0.2 + 0.8 / (1.0 + vel_norm)),
+        }
+        total = sum(terms.values())
+        if self.indiv_reward:
+            return {"reward": total, **terms}
+        return total
 
 
 class NavigationEnv2(DroneGymEnv):
