@@ -146,3 +146,25 @@ def test_reset_env_by_id_swaps_single_scene():
     state2, out2 = step(state2, jnp.zeros((4, 4)))
     assert step._cache_size() == compiles_before
     assert np.isfinite(np.asarray(out2.obs["depth"])).all()
+
+
+def test_obstacle_scale_keeps_packed_shapes():
+    """obstacle_scale shrinks obstacle cross-sections without changing the
+    primitive count — difficulty curricula stay zero-recompile (packed
+    shapes identical, values differ)."""
+    from visfly_tpu.scene import make_scene, pack_scenes
+
+    a = pack_scenes([make_scene("garage_simple_l_medium", seed=3,
+                                obstacle_scale=0.3)])
+    b = pack_scenes([make_scene("garage_simple_l_medium", seed=3,
+                                obstacle_scale=1.0)])
+    assert a.params.shape == b.params.shape
+    assert a.boxes.shape == b.boxes.shape
+    assert a.capsules.shape == b.capsules.shape
+    assert not np.allclose(np.asarray(a.params), np.asarray(b.params))
+    # scaled radii are strictly smaller
+    import numpy as _np
+    ra = _np.asarray(a.capsules)[0, :, 6]
+    rb = _np.asarray(b.capsules)[0, :, 6]
+    live = rb > 0
+    assert (ra[live] < rb[live]).all()

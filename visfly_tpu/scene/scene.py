@@ -106,10 +106,14 @@ def make_scene(name: str, seed: int = 42, **kwargs) -> SceneSpec:
 
     if name in ("garage_simple", "garage_simple_l_medium", "cluttered"):
         # rectangular garage with random columns and boxes between spawn
-        # (x≈1) and target (x≈9..14) — the cluttered_flight setting
+        # (x≈1) and target (x≈9..14) — the cluttered_flight setting.
+        # ``obstacle_scale`` shrinks obstacle cross-sections (same primitive
+        # COUNT → same packed shapes → difficulty curricula are pure
+        # runtime-operand scene swaps, zero recompilation)
         bmin, bmax = np.asarray([-2.0, -6.0, 0.0]), np.asarray([18.0, 6.0, 5.0])
         prims = [_room(bmin, bmax)]
         n_obs = kwargs.get("n_obstacles", 14)
+        scale = float(kwargs.get("obstacle_scale", 1.0))
         pts = best_candidate_points(
             rng, n_obs, np.asarray([2.5, -5.0]), np.asarray([13.0, 5.0])
         )
@@ -119,7 +123,7 @@ def make_scene(name: str, seed: int = 42, **kwargs) -> SceneSpec:
                     {
                         "type": "cylinder",
                         "center": np.asarray([x, y, 2.5], np.float32),
-                        "radius": float(rng.uniform(0.25, 0.5)),
+                        "radius": float(rng.uniform(0.25, 0.5)) * scale,
                         "half_height": 2.5,
                         "color": _COLORS[i % len(_COLORS)],
                         "semantic": 2 + (i % 8),
@@ -134,8 +138,8 @@ def make_scene(name: str, seed: int = 42, **kwargs) -> SceneSpec:
                         ),
                         "half_extents": np.asarray(
                             [
-                                rng.uniform(0.3, 0.8),
-                                rng.uniform(0.3, 0.8),
+                                rng.uniform(0.3, 0.8) * scale,
+                                rng.uniform(0.3, 0.8) * scale,
                                 rng.uniform(0.6, 1.8),
                             ],
                             np.float32,
