@@ -187,3 +187,33 @@ def test_scene_swap_rotates_habitat_scenes(habitat_dataset_dir):
     after = np.asarray(jax.tree_util.tree_leaves(env.scene.params)[0])
     assert before.shape == after.shape  # zero-recompile contract
     assert not np.allclose(before, after)  # a different scene landed
+
+
+def test_habitat_exact_backend_renders_triangles(habitat_dataset_dir):
+    """backend='grid' on a habitat scene set: the merged composite mesh is
+    baked with its exact triangles, and the env camera ray-traces them
+    (depth at the centre ray matches the wall analytically)."""
+    import jax
+    import jax.numpy as jnp
+    from visfly_tpu.envs import NavigationEnv
+    from visfly_tpu.scene.scene import SceneData
+
+    scenes_dir = os.path.join(habitat_dataset_dir, "configs", "scenes")
+    env = NavigationEnv(
+        num_agent_per_scene=1, num_scene=1, visual=True,
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 0.0, 0.0]}}
+        ]}},
+        scene_kwargs={"path": scenes_dir, "backend": "grid",
+                      "sdf_spacing": 0.1},
+        sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                        "resolution": [16, 16]}],
+        target=[7.0, 0.0, 1.0],
+    )
+    assert isinstance(env.scene, SceneData)
+    assert env.scene.triangles.shape[-1] == 9
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    d = np.asarray(obs["depth"])[0, 0]
+    # centre ray from (1, 0, 1.5) looking +x: far wall face at x = 8 →
+    # EXACT depth 7.0 (the grid backend would be ~1 cell off)
+    np.testing.assert_allclose(d[8, 8], 7.0, atol=0.05)

@@ -1,0 +1,162 @@
+"""Exact triangle-mesh ray tracing (`render/tri_trace.py`): XLA parity,
+interpret-mode Pallas kernel + cull, IFT gradients, and the env round trip.
+
+Parity target: the reference renders imported stages as exact triangle
+geometry (`/root/reference/utils/SceneManager.py:371-389`)."""
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from visfly_tpu.render.tri_trace import (
+    TILE,
+    cull_stats,
+    pack_triangles,
+    tri_cull_compact,
+    tri_trace_diff,
+    tri_trace_pallas,
+    tri_trace_xla,
+)
+
+
+@pytest.fixture
+def interpret_pallas():
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", patched):
+        yield
+
+
+def cube_mesh(center=(0.0, 0.0, 0.0), half=1.0):
+    c = np.asarray(center, np.float32)
+    v = np.asarray([[x, y, z] for x in (-half, half) for y in (-half, half)
+                    for z in (-half, half)], np.float32) + c
+    f = np.asarray([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int32)
+    return v, f
+
+
+def scene_tris():
+    """Two cubes (the decomposition test scene)."""
+    v1, f1 = cube_mesh((0.0, 0.0, 0.0), 1.0)
+    v2, f2 = cube_mesh((4.0, 0.0, 0.0), 0.8)
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    return jnp.asarray(pack_triangles(verts, faces)[None])  # (1, T, 9)
+
+
+def rays(n=TILE, seed=0, origin=(-3.0, 0.0, 0.0)):
+    key = jax.random.PRNGKey(seed)
+    o = jnp.asarray(origin) + jax.random.uniform(
+        key, (1, n, 3), minval=-0.5, maxval=0.5)
+    d = jax.random.normal(key, (1, n, 3)) + jnp.asarray([2.0, 0.0, 0.0])
+    return o, d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_xla_bruteforce_geometry():
+    tris = scene_tris()
+    o = jnp.asarray([[[-3.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 5.0, 0.0]]])
+    d = jnp.asarray([[[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]])
+    t, hit, n = tri_trace_xla(tris, o, d)
+    # ray 1: cube face at x=-1 → t=2; ray 2: second cube at x=3.2 → t=1.2;
+    # ray 3: first cube top at y=1 → t=4
+    np.testing.assert_allclose(np.asarray(t[0]), [2.0, 1.2, 4.0], atol=1e-5)
+    assert bool(hit.all())
+    # normals face the rays
+    np.testing.assert_allclose(np.asarray(n[0, 0]), [-1, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n[0, 2]), [0, 1, 0], atol=1e-5)
+
+
+def test_pallas_matches_xla(interpret_pallas):
+    tris = scene_tris()
+    o, d = rays(TILE, seed=3)
+    t_x, hit_x, n_x = tri_trace_xla(tris, o, d)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_p, hit_p, n_p = tri_trace_pallas(tris, o_c, d_c, cap=32)
+    np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
+    h = np.asarray(hit_x)[0]
+    np.testing.assert_allclose(np.asarray(n_p)[0][h], np.asarray(n_x)[0][h],
+                               atol=1e-4)
+
+
+def test_cull_keeps_image_and_culls(interpret_pallas):
+    tris = scene_tris()
+    o, d = rays(TILE, seed=5)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    # tiny cap still produces the right image for this 24-tri scene when
+    # every visible triangle fits
+    stats = cull_stats(tris, o_c, d_c, cap=24)
+    assert stats["max"] <= tris.shape[1]
+    t_full, hit_full, _ = tri_trace_pallas(tris, o_c, d_c,
+                                           cap=tris.shape[1])
+    t_c, hit_c, _ = tri_trace_pallas(tris, o_c, d_c, cap=24)
+    np.testing.assert_array_equal(np.asarray(hit_full), np.asarray(hit_c))
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_full),
+                               atol=1e-5)
+
+
+def test_ift_gradient_matches_fd():
+    tris = scene_tris()
+    o, d = rays(64, seed=7)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+
+    def mean_depth(oc):
+        t, hit, _ = tri_trace_diff(tris, oc, d_c, 20.0, 32, None, False)
+        return jnp.where(hit, t, 0.0).sum()
+
+    g = jax.grad(mean_depth)(o_c)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-3
+    f_p = mean_depth(o_c.at[0, 0, 0].add(eps))
+    f_m = mean_depth(o_c.at[0, 0, 0].add(-eps))
+    fd = (f_p - f_m) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), atol=0.05)
+
+
+def test_env_renders_exact_triangles(tmp_path):
+    """Env pointed at a mesh with backend='grid' scene data now renders the
+    EXACT triangles by default; depth matches the analytic expectation at
+    the centre pixel better than one grid spacing."""
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.mesh import bake_mesh_scene
+
+    v, f = cube_mesh((1.0, 0.0, 0.0), 1.0)
+    p = tmp_path / "cube.obj"
+    with open(p, "w") as fo:
+        for vv in v:
+            fo.write(f"v {vv[0]} {vv[1]} {vv[2]}\n")
+        for t in f:
+            fo.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+    data = bake_mesh_scene(str(p), spacing=0.08, margin=2.0)
+    assert data.triangles.shape[-1] == 9
+
+    pos = jnp.asarray([[-2.0, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    out = render_camera(data, jnp.zeros(1, jnp.int32), pos, q,
+                        {"sensor_type": "depth", "resolution": [32, 32]},
+                        max_depth=10.0)
+    depth = np.asarray(out["depth"])[0, 0]
+    # exact: the cube face at x=0 is 2.0 away — tighter than the grid's
+    # ~0.08 discretisation
+    np.testing.assert_allclose(depth[16, 16], 2.0, atol=0.01)
+    # grid opt-out still works
+    out_g = render_camera(data, jnp.zeros(1, jnp.int32), pos, q,
+                          {"sensor_type": "depth", "resolution": [32, 32],
+                           "render_backend": "grid"},
+                          n_steps=64, max_depth=10.0)
+    np.testing.assert_allclose(np.asarray(out_g["depth"])[0, 0, 16, 16],
+                               2.0, atol=0.1)

@@ -663,6 +663,59 @@ def render_camera(
         rgb = jnp.clip(shaded, 0, 255).astype(jnp.uint8).reshape(n, H, W, 3)
         return {"color": jnp.transpose(rgb, (0, 3, 1, 2))}
 
+    # EXACT triangle path for imported meshes (`tri_trace.py` — the
+    # reference rasterises true triangle geometry, `SceneManager.py:371-389`;
+    # here a per-tile-culled Möller–Trumbore Pallas kernel does, with the
+    # baked grid still serving collision queries). Default whenever the
+    # scene carries triangles; `render_backend: "grid"` opts back into the
+    # trilinear SDF march.
+    tri = getattr(data, "triangles", ())
+    if (getattr(tri, "ndim", 0) == 3
+            and str(spec.get("render_backend", "tri")) != "grid"):
+        from jax.ad_checkpoint import checkpoint_name
+
+        from .tri_trace import tri_trace_diff
+
+        S = data.num_scene
+        Rs = (n // S) * H * W
+        o_g3 = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(
+            S, Rs, 3)
+        d_g3 = dirs.reshape(S, Rs, 3)
+        o_c3 = jnp.transpose(o_g3, (2, 0, 1))
+        d_c3 = jnp.transpose(d_g3, (2, 0, 1))
+        use_pallas_tri = (jax.default_backend() == "tpu" and Rs % 1024 == 0)
+        t, hit, normal = tri_trace_diff(
+            tri, o_c3, d_c3, max_depth, int(spec.get("tri_cap", 256)),
+            W if (use_pallas_tri and (H * W) % 1024 == 0) else None,
+            use_pallas_tri)
+        t = checkpoint_name(t, "pallas_render")
+        hit = checkpoint_name(hit, "pallas_render")
+        normal = checkpoint_name(normal, "pallas_render")
+        t_img = t.reshape(n, H, W)
+        hit_img = hit.reshape(n, H, W)
+        if stype == "depth":
+            depth = jnp.where(hit_img, t_img * cos_f, max_depth)
+            return {"depth": depth[:, None, :, :]}
+        # color/semantic: albedo/ids from the baked grids at the EXACT hit
+        p_hit3 = (o_g3 + d_g3 * t[..., None]).reshape(n * H * W, 3)
+        hit_f = hit.reshape(n * H * W)
+        sid_f = jnp.broadcast_to(sid[:, None], (n, H * W)).reshape(-1)
+        X, Y, Z = data.sdf.shape[1:]
+        g = jnp.round((p_hit3 - data.origin) / data.spacing).astype(jnp.int32)
+        g = jnp.clip(g, 0, jnp.asarray([X - 1, Y - 1, Z - 1]))
+        lin = ((sid_f * X + g[..., 0]) * Y + g[..., 1]) * Z + g[..., 2]
+        if stype == "semantic":
+            sem = jnp.take(data.semantic.reshape(-1), lin)
+            sem = jnp.where(hit_f, sem, 0).reshape(n, H, W)
+            return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
+        albedo = jnp.take(data.albedo.reshape(-1, 3), lin, axis=0).astype(
+            jnp.float32)
+        lam = jnp.maximum(
+            jnp.sum(normal.reshape(-1, 3) * _LIGHT_DIR, -1), 0.0)
+        rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
+        rgb = jnp.where(hit_f[:, None], rgb, 0.0).reshape(n, H, W, 3)
+        return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
+
     # grid backend (meshes): flat batch with per-ray scene ids
     R = n * H * W
     flat_o = jnp.broadcast_to(origins[:, None, :], (n, H * W, 3)).reshape(R, 3)

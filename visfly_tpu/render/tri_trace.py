@@ -1,0 +1,321 @@
+"""Exact triangle-mesh ray tracing at training speed.
+
+The reference renders imported habitat stages as exact triangle geometry
+through habitat-sim's rasteriser (`/root/reference/utils/SceneManager.py:
+371-389,893-929`). Here the same capability is TPU-native: a fused Pallas
+kernel intersects each camera-tile's rays against a per-tile CULLED,
+COMPACTED triangle list (one-hot matmul compaction — no gathers), with
+Möller–Trumbore closed-form hits and kernel-computed face normals. The
+mesh's baked SDF grid keeps serving collision queries (the reference's
+CGAL closest-point side), so only the camera sees exact geometry — the
+same split as habitat (GL render + CGAL queries).
+
+Backends:
+* ``tri_trace_xla`` — brute-force vmapped Möller–Trumbore (CPU/parity path,
+  differentiable via the shared IFT custom VJP).
+* ``tri_trace_pallas`` — per-tile frustum cull + compaction + fused kernel
+  (TPU hot path; rays per scene must be a multiple of 1024).
+
+Overflow contract: a tile whose visible-triangle count exceeds the static
+``cap`` uses the first ``cap`` triangles in (stable) index order; the
+culling stats helper reports the overflow fraction so scenes can size
+``cap``. Stage meshes are dominated by a few large wall/floor triangles, so
+practical caps are small (default 256).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024
+ROWS, LANES = 8, 128
+BIG = 1e9
+
+
+def pack_triangles(verts: np.ndarray, faces: np.ndarray,
+                   pad_to: int = 8) -> np.ndarray:
+    """(V, 3) + (F, 3) → (T, 9) rows [a | b | c], zero-padded (degenerate
+    rows never intersect: det == 0)."""
+    tris = verts[faces.reshape(-1)].reshape(-1, 9).astype(np.float32)
+    t = len(tris)
+    padded = -(-max(t, 1) // pad_to) * pad_to
+    out = np.zeros((padded, 9), np.float32)
+    out[:t] = tris
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def _mt_one(tri: Array, o: Array, d: Array, max_depth: float
+            ) -> Tuple[Array, Array]:
+    """Möller–Trumbore: one triangle row (9,) vs rays (R, 3) → (t, n·̂)."""
+    a, b, c = tri[0:3], tri[3:6], tri[6:9]
+    e1 = b - a
+    e2 = c - a
+    pvec = jnp.cross(d, e2[None])  # (R, 3)
+    det = jnp.sum(e1[None] * pvec, -1)
+    inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvec = o - a[None]
+    u = jnp.sum(tvec * pvec, -1) * inv
+    qvec = jnp.cross(tvec, e1[None])
+    v = jnp.sum(d * qvec, -1) * inv
+    t = jnp.sum(e2[None] * qvec, -1) * inv
+    ok = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > 1e-4))
+    return jnp.where(ok, t, BIG)
+
+
+def tri_trace_xla(tris: Array, origins: Array, dirs: Array,
+                  max_depth: float = 20.0) -> Tuple[Array, Array, Array]:
+    """Brute force over all triangles. origins/dirs (S, R, 3);
+    returns (t (S,R), hit (S,R), normal (S,R,3) — geometric, facing the
+    ray)."""
+
+    def per_scene(tr, o, d):
+        ts = jax.vmap(lambda row: _mt_one(row, o, d, max_depth))(tr)  # (T, R)
+        k = jnp.argmin(ts, axis=0)
+        t = jnp.min(ts, axis=0)
+        hit = t < max_depth
+        rows = tr[k]  # (R, 9)
+        n = jnp.cross(rows[:, 3:6] - rows[:, 0:3],
+                      rows[:, 6:9] - rows[:, 0:3])
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+        # orient against the ray so the IFT denominator n·d is negative-side
+        n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+        return jnp.clip(t, 0.0, max_depth), hit, n
+
+    return jax.vmap(per_scene)(tris, origins, dirs)
+
+
+# ---------------------------------------------------------------------------
+# per-tile cull + compaction (XLA, gather-free — cull_compact's pattern)
+# ---------------------------------------------------------------------------
+
+
+def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
+                     max_depth: float, cap: int,
+                     img_w: Optional[int] = None):
+    """(S, T, 9) triangles × (3, S, R) rays → per-tile compacted
+    (S, tiles, cap, 9) + counts (S, tiles). AABB interval test, plus exact
+    frustum planes when a tile is one camera's contiguous row block."""
+    S, T = tris.shape[0], tris.shape[1]
+    R = origins_c.shape[2]
+    n_tiles = R // TILE
+    o = origins_c.reshape(3, S, n_tiles, TILE)
+    d = dirs_c.reshape(3, S, n_tiles, TILE)
+    lo = (o.min(-1) + max_depth * jnp.minimum(d.min(-1), 0.0)).transpose(1, 2, 0)
+    hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0)).transpose(1, 2, 0)
+
+    v = tris.reshape(S, T, 3, 3)
+    tlo = v.min(2)  # (S, T, 3)
+    thi = v.max(2)
+    active = jnp.all((lo[:, :, None] <= thi[:, None])
+                     & (hi[:, :, None] >= tlo[:, None]), -1)  # (S, tiles, T)
+    # drop zero-padded rows (degenerate at the origin could still overlap)
+    nonzero = jnp.any(jnp.abs(tris) > 0, axis=-1)  # (S, T)
+    active = active & nonzero[:, None]
+
+    if img_w is not None and TILE % img_w == 0:
+        dt4 = dirs_c.reshape(3, S, n_tiles, TILE)
+        corners = jnp.stack([
+            dt4[..., 0], dt4[..., img_w - 1],
+            dt4[..., TILE - 1], dt4[..., TILE - img_w],
+        ], axis=-1).transpose(1, 2, 3, 0)  # (S, tiles, 4, 3)
+        nxt = jnp.roll(corners, -1, axis=2)
+        planes = jnp.cross(corners, nxt)
+        centre = corners.sum(axis=2, keepdims=True)
+        sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
+        planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
+        apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(1, 2, 0)
+        # a triangle is visible unless ALL 3 verts are outside one plane
+        dv = jnp.einsum(
+            "stpc,skvc->stpkv", planes,
+            v - apex[:, :, None, None],
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (S, tiles, 4, T, 3verts)
+        vis = jnp.all(jnp.any(dv >= 0.0, axis=-1), axis=2)  # (S, tiles, T)
+        active = active & vis
+
+    order = jnp.argsort(1 - active.astype(jnp.int32), axis=-1, stable=True)
+    onehot = (order[:, :, :cap, None] == jnp.arange(T)).astype(tris.dtype)
+    out = jnp.einsum("stik,skc->stic", onehot, tris,
+                     preferred_element_type=tris.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out, active.sum(-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _tri_tile(tri_ref, ox, oy, oz, dx, dy, dz, t_ref, hit_ref,
+              nx_ref, ny_ref, nz_ref, *, cap: int, max_depth: float):
+    """One ray tile vs ``cap`` compacted triangles (SMEM rows). Tracks the
+    min-t hit and the winning face normal (scaled; normalised on the XLA
+    side)."""
+
+    def Tr(k, c):
+        return tri_ref[0, 0, k, c]
+
+    tbest = jnp.full((ROWS, LANES), BIG, jnp.float32)
+    nxb = jnp.zeros((ROWS, LANES), jnp.float32)
+    nyb = jnp.zeros((ROWS, LANES), jnp.float32)
+    nzb = jnp.zeros((ROWS, LANES), jnp.float32)
+    for k in range(cap):
+        ax, ay, az = Tr(k, 0), Tr(k, 1), Tr(k, 2)
+        e1x, e1y, e1z = Tr(k, 3) - ax, Tr(k, 4) - ay, Tr(k, 5) - az
+        e2x, e2y, e2z = Tr(k, 6) - ax, Tr(k, 7) - ay, Tr(k, 8) - az
+        # pvec = d × e2 (e2 scalar)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+        okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+        tx, ty, tz = ox - ax, oy - ay, oz - az
+        u = (tx * px + ty * py + tz * pz) * inv
+        # qvec = tvec × e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv
+        tk = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (okd * (u >= 0.0).astype(jnp.float32)
+              * (vv >= 0.0).astype(jnp.float32)
+              * (u + vv <= 1.0).astype(jnp.float32)
+              * (tk > 1e-4).astype(jnp.float32))
+        tk = jnp.where(ok > 0.5, tk, BIG)
+        better = tk < tbest
+        # geometric normal e1 × e2 (scalars — same for the whole tile)
+        gnx = e1y * e2z - e1z * e2y
+        gny = e1z * e2x - e1x * e2z
+        gnz = e1x * e2y - e1y * e2x
+        nxb = jnp.where(better, gnx, nxb)
+        nyb = jnp.where(better, gny, nyb)
+        nzb = jnp.where(better, gnz, nzb)
+        tbest = jnp.minimum(tbest, tk)
+
+    t = jnp.clip(tbest, 0.0, max_depth)
+    t_ref[0, 0] = t
+    hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
+    nx_ref[0, 0] = nxb
+    ny_ref[0, 0] = nyb
+    nz_ref[0, 0] = nzb
+
+
+def _tri_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
+                *, cap: int, max_depth: float):
+    _tri_tile(tri_ref,
+              ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
+              dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
+              t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
+              cap=cap, max_depth=max_depth)
+
+
+def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
+                     max_depth: float = 20.0, cap: int = 256,
+                     img_w: Optional[int] = None
+                     ) -> Tuple[Array, Array, Array]:
+    """(S, T, 9) × (3, S, R) → (t, hit, normal (S, R, 3)). R % 1024 == 0."""
+    _, S, R = origins_c.shape
+    if R % TILE:
+        raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
+    tiles = R // TILE
+    cap = min(cap, tris.shape[1])
+    sg = jax.lax.stop_gradient
+    tric, _counts = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
+                                     max_depth, cap, img_w=img_w)
+
+    def comp(x, c):
+        return x[c].reshape(S, tiles, ROWS, LANES)
+
+    ray_spec = pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32)
+    kernel = functools.partial(_tri_kernel, cap=cap, max_depth=max_depth)
+    t, hit, nx, ny, nz = pl.pallas_call(
+        kernel,
+        grid=(S, tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, cap, 9), lambda s, i: (s, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, ray_spec,
+            ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec] * 5,
+        out_shape=[out_sds] * 5,
+    )(tric, comp(origins_c, 0), comp(origins_c, 1), comp(origins_c, 2),
+      comp(dirs_c, 0), comp(dirs_c, 1), comp(dirs_c, 2))
+
+    t = t.reshape(S, R)
+    hit = hit.reshape(S, R) > 0.5
+    n = jnp.stack([nx.reshape(S, R), ny.reshape(S, R), nz.reshape(S, R)],
+                  axis=-1)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    d_pm = jnp.transpose(dirs_c, (1, 2, 0))
+    n = jnp.where(jnp.sum(n * d_pm, -1, keepdims=True) > 0, -n, n)
+    return t, hit, n
+
+
+def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
+               max_depth: float = 20.0, cap: int = 256,
+               img_w: Optional[int] = None) -> dict:
+    """Visible-triangle counts per tile + the overflow fraction for sizing
+    ``cap`` (the documented coverage contract)."""
+    _, counts = tri_cull_compact(tris, origins_c, dirs_c, max_depth,
+                                 cap=1, img_w=img_w)
+    c = np.asarray(counts)
+    return {"max": int(c.max()), "mean": float(c.mean()),
+            "p99": float(np.percentile(c, 99)),
+            "overflow_frac": float((c > cap).mean())}
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper — shared IFT VJP (planar surface: exact)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tri_trace_diff(tris, origins_c, dirs_c, max_depth=20.0, cap=256,
+                   img_w=None, use_pallas=True):
+    if use_pallas:
+        return tri_trace_pallas(tris, origins_c, dirs_c, max_depth, cap,
+                                img_w)
+    o = jnp.transpose(origins_c, (1, 2, 0))
+    d = jnp.transpose(dirs_c, (1, 2, 0))
+    return tri_trace_xla(tris, o, d, max_depth)
+
+
+def _ttd_fwd(tris, origins_c, dirs_c, max_depth, cap, img_w, use_pallas):
+    t, hit, n = tri_trace_diff(tris, origins_c, dirs_c, max_depth, cap,
+                               img_w, use_pallas)
+    return (t, hit, n), (tris, dirs_c, t, hit, n)
+
+
+def _ttd_bwd(max_depth, cap, img_w, use_pallas, residuals, cotangents):
+    """IFT gradient — exact for the planar hit surface:
+    ∂t/∂o = −n/(n·d), ∂t/∂d = −t·n/(n·d)."""
+    tris, dirs_c, t, hit, n = residuals
+    g_t, _g_hit, _g_n = cotangents
+    d = jnp.transpose(dirs_c, (1, 2, 0))
+    denom = jnp.sum(n * d, axis=-1)
+    scale = jnp.where(hit & (jnp.abs(denom) > 1e-3), 1.0 / denom, 0.0)
+    common = (g_t * scale)[..., None] * n
+    d_o = -jnp.transpose(common, (2, 0, 1))
+    d_d = -jnp.transpose(common * t[..., None], (2, 0, 1))
+    return jnp.zeros_like(tris), d_o, d_d
+
+
+tri_trace_diff.defvjp(_ttd_fwd, _ttd_bwd)

@@ -212,21 +212,12 @@ def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str
     return (v @ _H2S).astype(np.float32), faces
 
 
-def load_habitat_scene(
+def load_habitat_scene_mesh(
     scene_instance_path: str,
     dataset: Optional[HabitatDataset] = None,
-    spacing: float = 0.1,
-    margin: float = 0.5,
-    max_prims: int = 64,
-    min_cover: float = 0.98,
-    max_cells: int = 384,
-) -> SceneSpec:
-    """One ``*.scene_instance.json`` → box-decomposed :class:`SceneSpec`.
-
-    The stage mesh and every object instance are merged into a single
-    triangle soup in the std (z-up) frame, baked to an SDF grid and covered
-    with boxes (`decompose.sdf_grid_to_boxes`). The env flight volume is the
-    stage's bounding box."""
+) -> Tuple[np.ndarray, np.ndarray, Optional[Tuple[np.ndarray, np.ndarray]]]:
+    """One scene instance → merged std-frame triangle soup:
+    (verts, faces, stage_bounds)."""
     if dataset is None:
         cfg = find_dataset_config(scene_instance_path)
         if cfg is None:
@@ -256,8 +247,31 @@ def load_habitat_scene(
 
     if not all_v:
         raise ValueError(f"{scene_instance_path}: empty scene instance")
-    verts = np.concatenate(all_v, axis=0)
-    faces = np.concatenate(all_f, axis=0)
+    return (np.concatenate(all_v, axis=0), np.concatenate(all_f, axis=0),
+            stage_bounds)
+
+
+def load_habitat_scene(
+    scene_instance_path: str,
+    dataset: Optional[HabitatDataset] = None,
+    spacing: float = 0.1,
+    margin: float = 0.5,
+    max_prims: int = 64,
+    min_cover: float = 0.98,
+    max_cells: int = 384,
+) -> SceneSpec:
+    """One ``*.scene_instance.json`` → box/cylinder-decomposed
+    :class:`SceneSpec`.
+
+    The stage mesh and every object instance are merged into a single
+    triangle soup in the std (z-up) frame, baked to an SDF grid and covered
+    with primitives (`decompose.sdf_grid_to_boxes`). The env flight volume
+    is the stage's bounding box. For EXACT rendering instead, pass
+    ``scene_kwargs={"backend": "grid"}`` — the env then bakes the merged
+    mesh with the true triangles attached (`mesh.bake_scene_from_arrays`)
+    and cameras ray-trace them."""
+    verts, faces, stage_bounds = load_habitat_scene_mesh(
+        scene_instance_path, dataset)
 
     from .decompose import decompose_verts_faces
 

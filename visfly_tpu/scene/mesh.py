@@ -241,11 +241,31 @@ def bake_mesh_scene(
     from .scene import SceneData
 
     verts, faces = load_mesh(path)
+    return bake_scene_from_arrays(verts, faces, spacing=spacing,
+                                  margin=margin, max_cells=max_cells)
+
+
+def bake_scene_from_arrays(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    spacing: float = 0.1,
+    margin: float = 0.5,
+    max_cells: int = 384,
+):
+    """Triangle soup → grid ``SceneData`` with the exact triangles attached
+    (cameras ray-trace the true mesh via `render/tri_trace.py`; collision
+    queries keep the grid — the reference's GL-render + CGAL-query split)."""
+    import jax.numpy as jnp
+
+    from .scene import SceneData
+
     lo = verts.min(axis=0) - margin
     hi = verts.max(axis=0) + margin
     dims = np.minimum(np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells)
     spacing = float(np.max((hi - lo) / (dims - 1)))
-    grid = mesh_to_sdf_grid(verts, faces, lo, spacing, tuple(dims))
+    grid = mesh_to_sdf_grid(verts, faces, lo, spacing, tuple(int(d) for d in dims))
+    from ..render.tri_trace import pack_triangles
+
     return SceneData(
         sdf=jnp.asarray(grid[None]),
         albedo=jnp.full((1, *grid.shape, 3), 180, jnp.uint8),
@@ -253,4 +273,5 @@ def bake_mesh_scene(
         origin=jnp.asarray(lo, jnp.float32),
         spacing=jnp.asarray(spacing, jnp.float32),
         bbox=jnp.asarray(np.stack([lo + margin, hi - margin]), jnp.float32),
+        triangles=jnp.asarray(pack_triangles(verts, faces)[None]),
     )

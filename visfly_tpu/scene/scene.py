@@ -294,6 +294,10 @@ class SceneData(NamedTuple):
     origin: Any
     spacing: Any
     bbox: Any
+    # optional EXACT geometry: (S, T, 9) padded triangle soup
+    # [ax ay az bx by bz cx cy cz] — when present, cameras can ray-trace the
+    # true mesh (render/tri_trace.py) while collision queries keep the grid
+    triangles: Any = ()
 
     @property
     def num_scene(self):
@@ -451,10 +455,13 @@ def load_scenes_for_env(env):
             if env.num_scene > 1:
                 import jax.numpy as jnp
 
+                tri = data.triangles
                 data = data._replace(
                     sdf=jnp.tile(data.sdf, (env.num_scene, 1, 1, 1)),
                     albedo=jnp.tile(data.albedo, (env.num_scene, 1, 1, 1, 1)),
                     semantic=jnp.tile(data.semantic, (env.num_scene, 1, 1, 1)),
+                    triangles=(jnp.tile(tri, (env.num_scene, 1, 1))
+                               if getattr(tri, "ndim", 0) == 3 else tri),
                 )
             return data
         from .decompose import decompose_mesh_scene
@@ -490,6 +497,23 @@ def load_scenes_for_env(env):
                    else find_dataset_config(files[0]))
             env._habitat_dataset = HabitatDataset(cfg) if cfg else None
         files = env._scene_loader.next(env.num_scene)
+        if kw.get("backend", "primitive") == "grid":
+            # EXACT path: merged mesh baked to a grid (collisions) with the
+            # true triangles attached (cameras — `render/tri_trace.py`)
+            if env.num_scene != 1:
+                raise NotImplementedError(
+                    "habitat exact (backend='grid') scenes support "
+                    "num_scene == 1; use the primitive backend for "
+                    "multi-scene batching")
+            from .habitat_dataset import load_habitat_scene_mesh
+            from .mesh import bake_scene_from_arrays
+
+            verts, faces, _ = load_habitat_scene_mesh(
+                files[0], env._habitat_dataset)
+            return bake_scene_from_arrays(
+                verts, faces, spacing=kw.get("sdf_spacing", 0.1),
+                margin=kw.get("margin", 0.5),
+                max_cells=kw.get("max_cells", 384))
         hab_kw = {k: kw[k] for k in
                   ("spacing", "margin", "max_prims", "min_cover", "max_cells")
                   if k in kw}
