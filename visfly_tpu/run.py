@@ -76,7 +76,11 @@ def main(default_env: str = "cluttered_flight") -> None:
             )
 
     env_cls = EXPERIMENT_ENVS[args.env]
-    alg_cls = ALGO_ALIASES[args.algorithm.lower()]
+    # variant YAMLs resolve to their base algorithm: `-a PPO_tuned` loads
+    # alg_cfgs/<env>/PPO_tuned.yaml but trains with the PPO class
+    alg_name = args.algorithm.lower()
+    alg_cls = ALGO_ALIASES[alg_name if alg_name in ALGO_ALIASES
+                           else alg_name.split("_")[0]]
 
     if args.train:
         env = env_cls(**env_config["env"])
