@@ -160,3 +160,38 @@ def test_env_renders_exact_triangles(tmp_path):
                           n_steps=64, max_depth=10.0)
     np.testing.assert_allclose(np.asarray(out_g["depth"])[0, 0, 16, 16],
                                2.0, atol=0.1)
+
+
+def test_frustum_cull_camera_tiles(interpret_pallas):
+    """Camera-grid rays (one tile per camera) enable the exact frustum
+    plane cull (img_w): the image must match the unculled trace and the
+    prepass must remove triangles behind the cameras."""
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+
+    tris = scene_tris()
+    spec = {"sensor_type": "depth", "resolution": [16, 64]}  # 1024 = 1 tile
+    pos = jnp.asarray([[-3.0, 0.0, 0.0], [6.5, 0.0, 0.0]])
+    yaw = jnp.asarray([0.0, np.pi])  # both look at the cubes
+    q = quat.from_euler(jnp.zeros(2), jnp.zeros(2), yaw)
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 2, 1024)).reshape(3, 1, 2048)
+    d_full = d_c.reshape(3, 1, 2048)
+
+    _, counts = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+                                 img_w=64)
+    c = np.asarray(counts)
+    assert c.max() <= tris.shape[1]
+    # camera 2 at x=6.5 looking -x sees both cubes; camera 1 sees both too,
+    # but each frustum drops SOME back-facing/behind geometry relative to
+    # the no-frustum AABB cull
+    _, counts_nofr = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+                                      img_w=None)
+    assert c.sum() <= np.asarray(counts_nofr).sum()
+
+    t_u, hit_u, _ = tri_trace_pallas(tris, o_full, d_full,
+                                     cap=tris.shape[1])
+    t_c, hit_c, _ = tri_trace_pallas(tris, o_full, d_full,
+                                     cap=tris.shape[1], img_w=64)
+    np.testing.assert_array_equal(np.asarray(hit_u), np.asarray(hit_c))
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_u), atol=1e-5)

@@ -138,9 +138,9 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
         planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
         apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(1, 2, 0)
         # a triangle is visible unless ALL 3 verts are outside one plane
+        rel = v[:, None] - apex[:, :, None, None]  # (S, tiles, T, 3verts, 3)
         dv = jnp.einsum(
-            "stpc,skvc->stpkv", planes,
-            v - apex[:, :, None, None],
+            "stpc,stkvc->stpkv", planes, rel,
             precision=jax.lax.Precision.HIGHEST,
         )  # (S, tiles, 4, T, 3verts)
         vis = jnp.all(jnp.any(dv >= 0.0, axis=-1), axis=2)  # (S, tiles, T)
