@@ -176,4 +176,5 @@ def test_trainer_forces_requires_grad():
     assert not env.requires_grad
     BPTT(env, horizon=4, policy_kwargs={"latent_dim": (16,)})
     assert env.requires_grad
-    assert env.sensor_kwargs[0]["render_backend"] == "xla"
+    # pallas renderer default is kept (remat policy fix, round 3)
+    assert "render_backend" not in env.sensor_kwargs[0]

@@ -244,18 +244,19 @@ def test_env_applies_sensor_noise():
                            np.asarray(out2.obs["depth"]))
 
 
-def test_requires_grad_defaults_xla_render_backend():
-    """Differentiated envs default sensors to the XLA tracer (the Pallas
-    kernel's Mosaic compile pathologically hangs under grad+remat on TPU);
-    explicit render_backend wins; plain envs keep the Pallas default."""
+def test_requires_grad_keeps_pallas_render_backend():
+    """Differentiated envs keep the Pallas renderer default (the round-2
+    Mosaic-under-grad hang is fixed by the trainers' remat save policy —
+    kernel outputs named 'pallas_render' are saved, never replayed);
+    explicit render_backend always wins."""
     from visfly_tpu.envs import NavigationEnv
 
     kw = dict(num_agent_per_scene=2, visual=True,
               scene_kwargs={"path": "garage_simple_l_medium"},
               sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
                               "resolution": [16, 16]}])
-    assert NavigationEnv(requires_grad=True,
-                         **kw).sensor_kwargs[0]["render_backend"] == "xla"
+    assert "render_backend" not in NavigationEnv(
+        requires_grad=True, **kw).sensor_kwargs[0]
     assert "render_backend" not in NavigationEnv(**kw).sensor_kwargs[0]
     kw["sensor_kwargs"] = [{"sensor_type": "depth", "uuid": "depth",
                             "resolution": [16, 16],

@@ -22,14 +22,12 @@ class TrainerMixin:
         """Analytic-gradient trainers need a differentiable env. The
         reference flips the flag inside the algorithm (`shac.py:120-124`
         sets ``env.requires_grad = True`` in ``_build``); mirrored here, and
-        the sensor specs pick up the XLA render backend the env constructor
-        would have applied (see `envs/base.py` — the Pallas kernel's Mosaic
-        compile hangs under grad+remat). Safe pre-trace: ``step`` reads the
-        flag and the specs at trace time."""
+        (the Pallas renderer stays the default — the trainers' remat
+        policy saves its outputs so grad+remat never replays the kernel,
+        `envs/base.py`). Safe pre-trace: ``step`` reads the flag at trace
+        time."""
         if not env.requires_grad:
             env.requires_grad = True
-            for s in env.sensor_kwargs:
-                s.setdefault("render_backend", "xla")
 
     def make_logger(self, log_dir: Optional[str] = None,
                     formats=("stdout", "csv", "tensorboard")):
