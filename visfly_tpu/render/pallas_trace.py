@@ -82,8 +82,9 @@ def prepare_kernel_scene(scene: PrimitiveScene,
 
 
 def _trace_kernel(box_ref, cap_ref, o_ref, d_ref, t0_ref, t_ref, hit_ref,
-                  kid_ref, *, kb: int, kc: int, n_steps: int,
+                  *maybe_kid, kb: int, kc: int, n_steps: int,
                   max_depth: float, eps: float):
+    kid_ref = maybe_kid[0] if maybe_kid else None
     """One ray tile: o_ref/d_ref blocks are (1, 1, 3, ROWS, LANES); params in
     SMEM blocks (1, K, cols)."""
     _trace_tile(
@@ -264,8 +265,11 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
     if analytic:
         t0a = jnp.full((ROWS, LANES), BIG, jnp.float32)
         # winning-primitive id (original packed row, from the id column) —
-        # lets shading skip the per-pixel all-K distance pass in XLA
-        kbest = jnp.full((ROWS, LANES), -1.0, jnp.float32)
+        # lets shading skip the per-pixel all-K distance pass in XLA.
+        # Depth-only renders pass kid_ref=None and skip the tracking
+        # (~4% of the headline frame)
+        kbest = (jnp.full((ROWS, LANES), -1.0, jnp.float32)
+                 if kid_ref is not None else None)
         for k in range(kb):
             cx, cy_, cz = B(k, 0), B(k, 1), B(k, 2)
             hx, hy, hz = B(k, 3), B(k, 4), B(k, 5)
@@ -311,7 +315,8 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             tk = jnp.where(sign < 0.0, t_room,
                            jnp.where(hx + hy + hz < 1e-6, t_sph, t_solid))
             tk = jnp.where(active > 0.5, tk, BIG)
-            kbest = jnp.where(tk < t0a, B(k, 12), kbest)
+            if kbest is not None:
+                kbest = jnp.where(tk < t0a, B(k, 12), kbest)
             t0a = jnp.minimum(t0a, tk)
         for k in range(kc):
             ax, ay, az = C(k, 0), C(k, 1), C(k, 2)
@@ -349,14 +354,16 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
             tk = jnp.where(cap_excl[k], BIG, tk)
             tk = jnp.where(cap_inside0[k], 0.0, tk)
             tk = jnp.where(active > 0.5, tk, BIG)
-            kbest = jnp.where(tk < t0a, C(k, 8), kbest)
+            if kbest is not None:
+                kbest = jnp.where(tk < t0a, C(k, 8), kbest)
             t0a = jnp.minimum(t0a, tk)
         t0 = jnp.minimum(t0a, max_depth)
-        kid_ref[0, 0] = jnp.where(t0a < max_depth, kbest, -1.0)
+        if kid_ref is not None:
+            kid_ref[0, 0] = jnp.where(t0a < max_depth, kbest, -1.0)
         n_steps = n_refine
         omega = 1.0
 
-    if not analytic:
+    if not analytic and kid_ref is not None:
         # marched rays don't track the winner — shading falls back to the
         # XLA all-K argmin (kid −1 == "unknown")
         kid_ref[0, 0] = jnp.full((ROWS, LANES), -1.0, jnp.float32)
@@ -368,8 +375,8 @@ def _trace_tile(box_ref, cap_ref, ox, oy, oz, dx, dy, dz, t0, t_ref, hit_ref,
 
 def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                         t0_ref, t_ref, hit_ref, kid_ref,
-                         *, kb: int, kc: int, kb_c: int, kc_c: int,
+                         t0_ref, t_ref, hit_ref, *maybe_kid,
+                         kb: int, kc: int, kb_c: int, kc_c: int,
                          n_steps: int, max_depth: float, eps: float,
                          omega: float = 1.0, analytic: bool = False,
                          n_refine: int = 2):
@@ -389,6 +396,7 @@ def _trace_kernel_culled(box_ref, cap_ref, boxc_ref, nb_ref, capc_ref, nc_ref,
     # counts arrive as the WHOLE (S, T) array in SMEM (Mosaic rejects (1, 1)
     # blocks); index by grid position
     s, i = pl.program_id(0), pl.program_id(1)
+    kid_ref = maybe_kid[0] if maybe_kid else None
     fits = (nb_ref[s, i] <= kb_c) & (nc_ref[s, i] <= kc_c)
 
     args = (ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
@@ -599,10 +607,11 @@ def pallas_trace(
 
 
 def _trace_kernel_c(box_ref, cap_ref, ox_ref, oy_ref, oz_ref,
-                    dx_ref, dy_ref, dz_ref, t0_ref, t_ref, hit_ref, kid_ref,
-                    *, kb: int, kc: int, n_steps: int, max_depth: float,
-                    eps: float, omega: float = 1.0, analytic: bool = False,
-                    n_refine: int = 2):
+                    dx_ref, dy_ref, dz_ref, t0_ref, t_ref, hit_ref,
+                    *maybe_kid, kb: int, kc: int, n_steps: int,
+                    max_depth: float, eps: float, omega: float = 1.0,
+                    analytic: bool = False, n_refine: int = 2):
+    kid_ref = maybe_kid[0] if maybe_kid else None
     """Component-input variant of :func:`_trace_kernel`: six (ROWS, LANES)
     ray-component blocks instead of packed (3, ROWS, LANES) tiles — the
     caller then needs NO transposes (a per-step (3,·) tile transpose was
@@ -632,7 +641,8 @@ def pallas_trace_c(
     kc_c: Optional[int] = None,
     analytic: bool = False,
     n_refine: int = 2,
-) -> Tuple[Array, Array, Array]:
+    want_kid: bool = True,
+) -> Tuple[Array, ...]:
     """Component-major entry: no trailing-dim-3 arrays and no transposes —
     each component slices out of (3, S, R) and reshapes (minor dims intact)
     into (S, tiles, ROWS, LANES) blocks. ``cull=True`` (default) runs the
@@ -655,11 +665,10 @@ def pallas_trace_c(
 
     ray_spec = pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32),
-    ]
+    n_out = 3 if want_kid else 2
+    out_shape = [jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32)
+                 for _ in range(n_out)]
+    out_ray_specs = [ray_spec] * n_out
     rays = (
         comp(origins_c, 0), comp(origins_c, 1), comp(origins_c, 2),
         comp(dirs_c, 0), comp(dirs_c, 1), comp(dirs_c, 2),
@@ -682,7 +691,7 @@ def pallas_trace_c(
             n_steps=n_steps, max_depth=max_depth, eps=eps, omega=omega,
             analytic=analytic, n_refine=n_refine,
         )
-        t, hit, kid = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(S, tiles),
             in_specs=[
@@ -700,18 +709,21 @@ def pallas_trace_c(
                 ray_spec, ray_spec, ray_spec,
                 ray_spec,
             ],
-            out_specs=[ray_spec, ray_spec, ray_spec],
+            out_specs=out_ray_specs,
             out_shape=out_shape,
         )(kscene.boxes, kscene.capsules, boxc, nb, capc, nc, *rays)
-        return (t.reshape(S, R), hit.reshape(S, R) > 0.5,
-                kid.reshape(S, R))
+        t, hit = outs[0], outs[1]
+        if want_kid:
+            return (t.reshape(S, R), hit.reshape(S, R) > 0.5,
+                    outs[2].reshape(S, R))
+        return t.reshape(S, R), hit.reshape(S, R) > 0.5
 
     kernel = functools.partial(
         _trace_kernel_c, kb=kb, kc=kc, n_steps=n_steps,
         max_depth=max_depth, eps=eps, omega=omega, analytic=analytic,
         n_refine=n_refine,
     )
-    t, hit, kid = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(S, tiles),
         in_specs=[
@@ -723,34 +735,41 @@ def pallas_trace_c(
             ray_spec, ray_spec, ray_spec,  # dx, dy, dz
             ray_spec,  # t_init
         ],
-        out_specs=[ray_spec, ray_spec, ray_spec],
+        out_specs=out_ray_specs,
         out_shape=out_shape,
     )(kscene.boxes, kscene.capsules, *rays)
-    return t.reshape(S, R), hit.reshape(S, R) > 0.5, kid.reshape(S, R)
+    t, hit = outs[0], outs[1]
+    if want_kid:
+        return (t.reshape(S, R), hit.reshape(S, R) > 0.5,
+                outs[2].reshape(S, R))
+    return t.reshape(S, R), hit.reshape(S, R) > 0.5
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def pallas_trace_diff_c(kscene, origins_c, dirs_c, t_init, n_steps=40,
                         max_depth=20.0, omega=1.0, cull=True, img_w=None,
-                        analytic=False, n_refine=2):
+                        analytic=False, n_refine=2, want_kid=True):
     return pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
                           max_depth, omega=omega, cull=cull, img_w=img_w,
-                          analytic=analytic, n_refine=n_refine)
+                          analytic=analytic, n_refine=n_refine,
+                          want_kid=want_kid)
 
 
 def _ptdc_fwd(kscene, origins_c, dirs_c, t_init, n_steps, max_depth, omega,
-              cull, img_w, analytic, n_refine):
-    t, hit, kid = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
-                                 max_depth, omega=omega, cull=cull,
-                                 img_w=img_w, analytic=analytic,
-                                 n_refine=n_refine)
-    return (t, hit, kid), (kscene, origins_c, dirs_c, t, hit)
+              cull, img_w, analytic, n_refine, want_kid):
+    out = pallas_trace_c(kscene, origins_c, dirs_c, t_init, n_steps,
+                         max_depth, omega=omega, cull=cull,
+                         img_w=img_w, analytic=analytic,
+                         n_refine=n_refine, want_kid=want_kid)
+    t, hit = out[0], out[1]
+    return out, (kscene, origins_c, dirs_c, t, hit)
 
 
 def _ptdc_bwd(n_steps, max_depth, omega, cull, img_w, analytic, n_refine,
-              residuals, cotangents):
+              want_kid, residuals, cotangents):
     kscene, origins_c, dirs_c, t, hit = residuals
-    g_t, _g_hit, _g_kid = cotangents  # kid is a discrete label: no gradient
+    g_t = cotangents[0]  # hit/kid are discrete: no gradient
     # backward pass converts to (S, R, 3) once — acceptable off the hot path
     o = jnp.transpose(origins_c, (1, 2, 0))
     d = jnp.transpose(dirs_c, (1, 2, 0))

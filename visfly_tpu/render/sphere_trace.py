@@ -534,7 +534,11 @@ def render_camera(
             d_full = d_c.reshape(3, S, R)
             kscene = prepare_kernel_scene(data, objects)
             t0 = jnp.zeros((S, R), o_full.dtype)
-            t, hit, kid = pallas_trace_diff_c(
+            # the winning-primitive id output is only materialised when
+            # shading needs it (color/semantic) — depth renders skip the
+            # in-kernel tracking (~4% of the frame)
+            want_kid = stype != "depth" and trace_mode == "analytic"
+            out = pallas_trace_diff_c(
                 kscene, o_full, d_full, t0,
                 int(spec.get("trace_steps_override", n_steps)), max_depth,
                 float(spec.get("march_omega", 1.0)),
@@ -544,7 +548,10 @@ def render_camera(
                 W if (H * W) % 1024 == 0 else None,
                 trace_mode == "analytic",
                 int(spec.get("analytic_refine", 0)),
+                want_kid,
             )
+            t, hit = out[0], out[1]
+            kid = out[2] if want_kid else None
             # named for remat policies: trainers save the kernel outputs so
             # a jax.checkpoint'd backward pass never replays the Mosaic
             # kernel (grad+remat+scan over its forward is a pathological
@@ -553,7 +560,8 @@ def render_camera(
 
             t = checkpoint_name(t, "pallas_render")
             hit = checkpoint_name(hit, "pallas_render")
-            kid = checkpoint_name(kid, "pallas_render")
+            if kid is not None:
+                kid = checkpoint_name(kid, "pallas_render")
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
             if stype == "depth":
@@ -564,7 +572,7 @@ def render_camera(
             o_pm = jnp.transpose(o_full, (1, 2, 0))
             d_pm = jnp.transpose(d_full, (1, 2, 0))
             p_hit = o_pm + d_pm * t[..., None]
-            if trace_mode == "analytic":
+            if kid is not None:
                 # the kernel reported the winning primitive — shading skips
                 # the per-pixel all-K distance pass entirely
                 shaded = _shade_primitive_indexed(data, p_hit, hit, kid,

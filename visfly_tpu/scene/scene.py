@@ -520,6 +520,16 @@ def load_scenes_for_env(env):
         specs = [load_habitat_scene(f, env._habitat_dataset, **hab_kw)
                  for f in files]
         env._scene_specs = specs
+        # different dataset scenes decompose into different primitive
+        # counts; a swap that grows packed shapes forces a retrace. Floor
+        # the pack at the max seen so far rounded up a whole ×8 bucket —
+        # absorbs typical scene-to-scene variation without bloating the
+        # kernel's unrolled row count (a retrace still happens if a later
+        # scene overflows the bucket; raise max_prims-level padding via
+        # scene_kwargs min_k to pin it entirely)
+        n_max = max(len(s.primitives) for s in specs)
+        env._pack_floor = max(int(getattr(env, "_pack_floor", 0)),
+                              -(-(n_max + 4) // 8) * 8)
         return _build_scene(env, specs)
 
     # dataset directory of scene JSONs → round-robin loader (the reference's
@@ -554,11 +564,13 @@ def _build_scene(env, specs):
     from .prim_scene import pack_scenes
 
     old = getattr(env, "scene", None)
-    floors = {}
+    floor = int(getattr(env, "_pack_floor", 0))
+    floors = dict(min_k=floor, min_kb=floor, min_kc=floor) if floor else {}
     if old is not None and hasattr(old, "params"):
         # keep the compiled program's shapes across swaps
-        floors = dict(min_k=old.params.shape[1], min_kb=old.boxes.shape[1],
-                      min_kc=old.capsules.shape[1])
+        floors = dict(min_k=max(floor, old.params.shape[1]),
+                      min_kb=max(floor, old.boxes.shape[1]),
+                      min_kc=max(floor, old.capsules.shape[1]))
     return pack_scenes(specs, **floors)
 
 
