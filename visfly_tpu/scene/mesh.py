@@ -255,23 +255,46 @@ def bake_scene_from_arrays(
     """Triangle soup → grid ``SceneData`` with the exact triangles attached
     (cameras ray-trace the true mesh via `render/tri_trace.py`; collision
     queries keep the grid — the reference's GL-render + CGAL-query split)."""
+    return bake_scenes_from_meshes([(verts, faces)], spacing=spacing,
+                                   margin=margin, max_cells=max_cells)
+
+
+def bake_scenes_from_meshes(
+    meshes,  # sequence of (verts, faces)
+    spacing: float = 0.1,
+    margin: float = 0.5,
+    max_cells: int = 384,
+):
+    """Multiple triangle soups → one stacked ``SceneData``: all scenes share
+    a grid frame (union bounds — SceneData carries ONE origin/spacing), and
+    triangle soups are zero-padded to a common count for the kernel."""
     import jax.numpy as jnp
 
     from .scene import SceneData
-
-    lo = verts.min(axis=0) - margin
-    hi = verts.max(axis=0) + margin
-    dims = np.minimum(np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells)
-    spacing = float(np.max((hi - lo) / (dims - 1)))
-    grid = mesh_to_sdf_grid(verts, faces, lo, spacing, tuple(int(d) for d in dims))
     from ..render.tri_trace import pack_triangles
 
+    los = np.stack([v.min(axis=0) for v, _ in meshes])
+    his = np.stack([v.max(axis=0) for v, _ in meshes])
+    lo = los.min(axis=0) - margin
+    hi = his.max(axis=0) + margin
+    dims = np.minimum(np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells)
+    spacing = float(np.max((hi - lo) / (dims - 1)))
+    grids = [mesh_to_sdf_grid(v, f, lo, spacing,
+                              tuple(int(d) for d in dims))
+             for v, f in meshes]
+    packed = [pack_triangles(v, f) for v, f in meshes]
+    t_max = max(p.shape[0] for p in packed)
+    tris = np.zeros((len(packed), t_max, 9), np.float32)
+    for i, p in enumerate(packed):
+        tris[i, : p.shape[0]] = p
+    S = len(meshes)
+    shape = grids[0].shape
     return SceneData(
-        sdf=jnp.asarray(grid[None]),
-        albedo=jnp.full((1, *grid.shape, 3), 180, jnp.uint8),
-        semantic=jnp.ones((1, *grid.shape), jnp.uint8),
+        sdf=jnp.asarray(np.stack(grids)),
+        albedo=jnp.full((S, *shape, 3), 180, jnp.uint8),
+        semantic=jnp.ones((S, *shape), jnp.uint8),
         origin=jnp.asarray(lo, jnp.float32),
         spacing=jnp.asarray(spacing, jnp.float32),
         bbox=jnp.asarray(np.stack([lo + margin, hi - margin]), jnp.float32),
-        triangles=jnp.asarray(pack_triangles(verts, faces)[None]),
+        triangles=jnp.asarray(tris),
     )

@@ -498,20 +498,16 @@ def load_scenes_for_env(env):
             env._habitat_dataset = HabitatDataset(cfg) if cfg else None
         files = env._scene_loader.next(env.num_scene)
         if kw.get("backend", "primitive") == "grid":
-            # EXACT path: merged mesh baked to a grid (collisions) with the
-            # true triangles attached (cameras — `render/tri_trace.py`)
-            if env.num_scene != 1:
-                raise NotImplementedError(
-                    "habitat exact (backend='grid') scenes support "
-                    "num_scene == 1; use the primitive backend for "
-                    "multi-scene batching")
+            # EXACT path: merged meshes baked to stacked grids (collisions,
+            # union-bounds shared frame) with the true triangles attached
+            # (cameras — `render/tri_trace.py`)
             from .habitat_dataset import load_habitat_scene_mesh
-            from .mesh import bake_scene_from_arrays
+            from .mesh import bake_scenes_from_meshes
 
-            verts, faces, _ = load_habitat_scene_mesh(
-                files[0], env._habitat_dataset)
-            return bake_scene_from_arrays(
-                verts, faces, spacing=kw.get("sdf_spacing", 0.1),
+            meshes = [load_habitat_scene_mesh(f, env._habitat_dataset)[:2]
+                      for f in files]
+            return bake_scenes_from_meshes(
+                meshes, spacing=kw.get("sdf_spacing", 0.1),
                 margin=kw.get("margin", 0.5),
                 max_cells=kw.get("max_cells", 384))
         hab_kw = {k: kw[k] for k in
