@@ -1,5 +1,11 @@
 from .camera import camera_rays, pixel_dirs_body
 from .sphere_trace import render_camera, render_sensors, trace_rays
+from .tri_trace import (
+    pack_triangles,
+    tri_trace_diff,
+    tri_trace_pallas,
+    tri_trace_xla,
+)
 
 __all__ = [
     "camera_rays",
@@ -7,4 +13,8 @@ __all__ = [
     "trace_rays",
     "render_camera",
     "render_sensors",
+    "pack_triangles",
+    "tri_trace_diff",
+    "tri_trace_pallas",
+    "tri_trace_xla",
 ]
