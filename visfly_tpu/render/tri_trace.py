@@ -159,52 +159,70 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
 # ---------------------------------------------------------------------------
 
 
+TRI_UNROLL = 32  # rows per chunk: the Mosaic program size is bounded by
+# this unrolled body — a fully-unrolled 256-row kernel was observed to
+# compile for >25 min, while 32-row chunks iterated by a fori_loop keep
+# compile in seconds at identical per-row flops
+
+
 def _tri_tile(tri_ref, ox, oy, oz, dx, dy, dz, t_ref, hit_ref,
               nx_ref, ny_ref, nz_ref, *, cap: int, max_depth: float):
     """One ray tile vs ``cap`` compacted triangles (SMEM rows). Tracks the
     min-t hit and the winning face normal (scaled; normalised on the XLA
-    side)."""
+    side). Rows are processed in ``TRI_UNROLL``-row unrolled chunks inside
+    a fori_loop (dynamic SMEM base index) to bound compile time."""
 
-    def Tr(k, c):
-        return tri_ref[0, 0, k, c]
+    def candidates(base, carry):
+        tbest, nxb, nyb, nzb = carry
+        for j in range(min(TRI_UNROLL, cap)):
+            def Tr(c):
+                return tri_ref[0, 0, base + j, c]
 
-    tbest = jnp.full((ROWS, LANES), BIG, jnp.float32)
-    nxb = jnp.zeros((ROWS, LANES), jnp.float32)
-    nyb = jnp.zeros((ROWS, LANES), jnp.float32)
-    nzb = jnp.zeros((ROWS, LANES), jnp.float32)
-    for k in range(cap):
-        ax, ay, az = Tr(k, 0), Tr(k, 1), Tr(k, 2)
-        e1x, e1y, e1z = Tr(k, 3) - ax, Tr(k, 4) - ay, Tr(k, 5) - az
-        e2x, e2y, e2z = Tr(k, 6) - ax, Tr(k, 7) - ay, Tr(k, 8) - az
-        # pvec = d × e2 (e2 scalar)
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-        okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
-        tx, ty, tz = ox - ax, oy - ay, oz - az
-        u = (tx * px + ty * py + tz * pz) * inv
-        # qvec = tvec × e1
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        vv = (dx * qx + dy * qy + dz * qz) * inv
-        tk = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = (okd * (u >= 0.0).astype(jnp.float32)
-              * (vv >= 0.0).astype(jnp.float32)
-              * (u + vv <= 1.0).astype(jnp.float32)
-              * (tk > 1e-4).astype(jnp.float32))
-        tk = jnp.where(ok > 0.5, tk, BIG)
-        better = tk < tbest
-        # geometric normal e1 × e2 (scalars — same for the whole tile)
-        gnx = e1y * e2z - e1z * e2y
-        gny = e1z * e2x - e1x * e2z
-        gnz = e1x * e2y - e1y * e2x
-        nxb = jnp.where(better, gnx, nxb)
-        nyb = jnp.where(better, gny, nyb)
-        nzb = jnp.where(better, gnz, nzb)
-        tbest = jnp.minimum(tbest, tk)
+            ax, ay, az = Tr(0), Tr(1), Tr(2)
+            e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
+            e2x, e2y, e2z = Tr(6) - ax, Tr(7) - ay, Tr(8) - az
+            # pvec = d × e2 (e2 scalar)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+            okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+            tx, ty, tz = ox - ax, oy - ay, oz - az
+            u = (tx * px + ty * py + tz * pz) * inv
+            # qvec = tvec × e1
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tk = (e2x * qx + e2y * qy + e2z * qz) * inv
+            ok = (okd * (u >= 0.0).astype(jnp.float32)
+                  * (vv >= 0.0).astype(jnp.float32)
+                  * (u + vv <= 1.0).astype(jnp.float32)
+                  * (tk > 1e-4).astype(jnp.float32))
+            tk = jnp.where(ok > 0.5, tk, BIG)
+            better = tk < tbest
+            # geometric normal e1 × e2 (scalars — same for the whole tile)
+            gnx = e1y * e2z - e1z * e2y
+            gny = e1z * e2x - e1x * e2z
+            gnz = e1x * e2y - e1y * e2x
+            nxb = jnp.where(better, gnx, nxb)
+            nyb = jnp.where(better, gny, nyb)
+            nzb = jnp.where(better, gnz, nzb)
+            tbest = jnp.minimum(tbest, tk)
+        return tbest, nxb, nyb, nzb
+
+    init = (jnp.full((ROWS, LANES), BIG, jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32),
+            jnp.zeros((ROWS, LANES), jnp.float32))
+    if cap <= TRI_UNROLL:
+        tbest, nxb, nyb, nzb = candidates(0, init)
+    else:
+        n_chunks = -(-cap // TRI_UNROLL)
+        tbest, nxb, nyb, nzb = jax.lax.fori_loop(
+            0, n_chunks,
+            lambda ci, carry: candidates(ci * TRI_UNROLL, carry), init)
 
     t = jnp.clip(tbest, 0.0, max_depth)
     t_ref[0, 0] = t
@@ -237,6 +255,12 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     sg = jax.lax.stop_gradient
     tric, _counts = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
                                      max_depth, cap, img_w=img_w)
+    if cap > TRI_UNROLL and cap % TRI_UNROLL:
+        # chunked kernel reads whole TRI_UNROLL blocks — pad with degenerate
+        # (never-hitting) rows up to the chunk boundary
+        pad = TRI_UNROLL - cap % TRI_UNROLL
+        tric = jnp.pad(tric, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        cap += pad
 
     def comp(x, c):
         return x[c].reshape(S, tiles, ROWS, LANES)
