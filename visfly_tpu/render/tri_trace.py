@@ -159,87 +159,85 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
 # ---------------------------------------------------------------------------
 
 
-TRI_UNROLL = 32  # rows per chunk: the Mosaic program size is bounded by
-# this unrolled body — a fully-unrolled 256-row kernel was observed to
-# compile for >25 min, while 32-row chunks iterated by a fori_loop keep
+TRI_UNROLL = 32  # rows per grid-chunk: the Mosaic program size is bounded
+# by this unrolled body — a fully-unrolled 256-row kernel was observed to
+# compile for >25 min, while 32-row chunks iterated over a SEQUENTIAL minor
+# grid dimension (output blocks revisited; all SMEM indices static) keep
 # compile in seconds at identical per-row flops
-
-
-def _tri_tile(tri_ref, ox, oy, oz, dx, dy, dz, t_ref, hit_ref,
-              nx_ref, ny_ref, nz_ref, *, cap: int, max_depth: float):
-    """One ray tile vs ``cap`` compacted triangles (SMEM rows). Tracks the
-    min-t hit and the winning face normal (scaled; normalised on the XLA
-    side). Rows are processed in ``TRI_UNROLL``-row unrolled chunks inside
-    a fori_loop (dynamic SMEM base index) to bound compile time."""
-
-    def candidates(base, carry):
-        tbest, nxb, nyb, nzb = carry
-        for j in range(min(TRI_UNROLL, cap)):
-            def Tr(c):
-                return tri_ref[0, 0, base + j, c]
-
-            ax, ay, az = Tr(0), Tr(1), Tr(2)
-            e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
-            e2x, e2y, e2z = Tr(6) - ax, Tr(7) - ay, Tr(8) - az
-            # pvec = d × e2 (e2 scalar)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-            okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
-            tx, ty, tz = ox - ax, oy - ay, oz - az
-            u = (tx * px + ty * py + tz * pz) * inv
-            # qvec = tvec × e1
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv
-            tk = (e2x * qx + e2y * qy + e2z * qz) * inv
-            ok = (okd * (u >= 0.0).astype(jnp.float32)
-                  * (vv >= 0.0).astype(jnp.float32)
-                  * (u + vv <= 1.0).astype(jnp.float32)
-                  * (tk > 1e-4).astype(jnp.float32))
-            tk = jnp.where(ok > 0.5, tk, BIG)
-            better = tk < tbest
-            # geometric normal e1 × e2 (scalars — same for the whole tile)
-            gnx = e1y * e2z - e1z * e2y
-            gny = e1z * e2x - e1x * e2z
-            gnz = e1x * e2y - e1y * e2x
-            nxb = jnp.where(better, gnx, nxb)
-            nyb = jnp.where(better, gny, nyb)
-            nzb = jnp.where(better, gnz, nzb)
-            tbest = jnp.minimum(tbest, tk)
-        return tbest, nxb, nyb, nzb
-
-    init = (jnp.full((ROWS, LANES), BIG, jnp.float32),
-            jnp.zeros((ROWS, LANES), jnp.float32),
-            jnp.zeros((ROWS, LANES), jnp.float32),
-            jnp.zeros((ROWS, LANES), jnp.float32))
-    if cap <= TRI_UNROLL:
-        tbest, nxb, nyb, nzb = candidates(0, init)
-    else:
-        n_chunks = -(-cap // TRI_UNROLL)
-        tbest, nxb, nyb, nzb = jax.lax.fori_loop(
-            0, n_chunks,
-            lambda ci, carry: candidates(ci * TRI_UNROLL, carry), init)
-
-    t = jnp.clip(tbest, 0.0, max_depth)
-    t_ref[0, 0] = t
-    hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
-    nx_ref[0, 0] = nxb
-    ny_ref[0, 0] = nyb
-    nz_ref[0, 0] = nzb
 
 
 def _tri_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
-                *, cap: int, max_depth: float):
-    _tri_tile(tri_ref,
-              ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0],
-              dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0],
-              t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
-              cap=cap, max_depth=max_depth)
+                *, chunk: int, n_chunks: int, max_depth: float):
+    """One (scene, tile, chunk) grid step: intersect the tile's rays with
+    this chunk's ``chunk`` compacted triangles, folding the running min-t
+    and its face normal into the revisited output blocks. The last chunk
+    finalises t (clip) and the hit mask."""
+    ci = pl.program_id(2)
+    ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+    dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
+
+    @pl.when(ci == 0)
+    def _init():
+        t_ref[0, 0] = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        nx_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
+        ny_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
+        nz_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+    tbest = t_ref[0, 0]
+    nxb = nx_ref[0, 0]
+    nyb = ny_ref[0, 0]
+    nzb = nz_ref[0, 0]
+    for j in range(chunk):
+        def Tr(c):
+            return tri_ref[0, 0, 0, j, c]
+
+        ax, ay, az = Tr(0), Tr(1), Tr(2)
+        e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
+        e2x, e2y, e2z = Tr(6) - ax, Tr(7) - ay, Tr(8) - az
+        # pvec = d × e2 (e2 scalar)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+        okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+        tx, ty, tz = ox - ax, oy - ay, oz - az
+        u = (tx * px + ty * py + tz * pz) * inv
+        # qvec = tvec × e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        vv = (dx * qx + dy * qy + dz * qz) * inv
+        tk = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (okd * (u >= 0.0).astype(jnp.float32)
+              * (vv >= 0.0).astype(jnp.float32)
+              * (u + vv <= 1.0).astype(jnp.float32)
+              * (tk > 1e-4).astype(jnp.float32))
+        tk = jnp.where(ok > 0.5, tk, BIG)
+        better = tk < tbest
+        # geometric normal e1 × e2 (scalars — same for the whole tile)
+        gnx = e1y * e2z - e1z * e2y
+        gny = e1z * e2x - e1x * e2z
+        gnz = e1x * e2y - e1y * e2x
+        nxb = jnp.where(better, gnx, nxb)
+        nyb = jnp.where(better, gny, nyb)
+        nzb = jnp.where(better, gnz, nzb)
+        tbest = jnp.minimum(tbest, tk)
+
+    nx_ref[0, 0] = nxb
+    ny_ref[0, 0] = nyb
+    nz_ref[0, 0] = nzb
+
+    @pl.when(ci < n_chunks - 1)
+    def _carry():
+        t_ref[0, 0] = tbest
+
+    @pl.when(ci == n_chunks - 1)
+    def _finalise():
+        t = jnp.clip(tbest, 0.0, max_depth)
+        t_ref[0, 0] = t
+        hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
 
 
 def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
@@ -255,25 +253,33 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     sg = jax.lax.stop_gradient
     tric, _counts = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
                                      max_depth, cap, img_w=img_w)
-    if cap > TRI_UNROLL and cap % TRI_UNROLL:
-        # chunked kernel reads whole TRI_UNROLL blocks — pad with degenerate
-        # (never-hitting) rows up to the chunk boundary
-        pad = TRI_UNROLL - cap % TRI_UNROLL
+    chunk = min(cap, TRI_UNROLL)
+    if cap % chunk:
+        # whole chunks only — pad with degenerate (never-hitting) rows
+        pad = chunk - cap % chunk
         tric = jnp.pad(tric, ((0, 0), (0, 0), (0, pad), (0, 0)))
         cap += pad
+    n_chunks = cap // chunk
+    tric = tric.reshape(S, tiles, n_chunks, chunk, 9)
 
     def comp(x, c):
         return x[c].reshape(S, tiles, ROWS, LANES)
 
-    ray_spec = pl.BlockSpec((1, 1, ROWS, LANES), lambda s, i: (s, i, 0, 0),
+    # ray/out blocks ignore the minor chunk grid dim — outputs are
+    # revisited across chunks (sequential TPU grid) and carry the running
+    # min-t/normal until the final chunk writes the finished tile
+    ray_spec = pl.BlockSpec((1, 1, ROWS, LANES),
+                            lambda s, i, c: (s, i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_sds = jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32)
-    kernel = functools.partial(_tri_kernel, cap=cap, max_depth=max_depth)
+    kernel = functools.partial(_tri_kernel, chunk=chunk, n_chunks=n_chunks,
+                               max_depth=max_depth)
     t, hit, nx, ny, nz = pl.pallas_call(
         kernel,
-        grid=(S, tiles),
+        grid=(S, tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, cap, 9), lambda s, i: (s, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, chunk, 9),
+                         lambda s, i, c: (s, i, c, 0, 0),
                          memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec, ray_spec,
