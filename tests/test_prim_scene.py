@@ -247,3 +247,42 @@ def test_prim_normal_single_matches_grad():
     g = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
     n = prim_normal_single(rows, pts)
     np.testing.assert_allclose(np.asarray(g), np.asarray(n), atol=1e-4)
+
+
+def test_landing_visual_touchdown_success_reachable():
+    """A controlled slow descent over the pad must fire ``is_success`` — the
+    pad top (z=0.1) + collision radius (0.1) overlap the success window
+    (z ≤ 0.2, |v| ≤ 0.3, `LandingEnv.py:94-100`), so success and floor
+    contact evaluate on the same post-step state and success must win in
+    the info dict (the reference computes ``_success`` before ``_done``).
+    Guards the touchdown semantics behind the landing training results."""
+    from visfly_tpu.dynamics import dynamics as dyn
+    from visfly_tpu.envs.landing import LandingEnv
+
+    env = LandingEnv(num_agent_per_scene=2,
+                     dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03,
+                                      "action_type": "bodyrate",
+                                      "ctrl_delay": True},
+                     max_episode_steps=256)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    n = 2
+    d = state.dyn._replace(
+        pos=jnp.tile(jnp.asarray([[2.0, 0.0, 0.4]]), (n, 1)),
+        vel=jnp.zeros((n, 3)),
+        q=jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]]), (n, 1)),
+        omega=jnp.zeros((n, 3)))
+    state = state._replace(dyn=d)
+
+    succ = False
+    for _ in range(60):
+        vz = float(np.asarray(dyn.velocity(state.dyn))[0, 2])
+        cmd = jnp.tile(jnp.asarray([[9.6 + 4.0 * (-0.15 - vz), 0, 0, 0]]),
+                       (n, 1))
+        a = dyn.normalize_command(env.dyn_config, env.params, cmd)
+        state, out = env.step(state, a, is_test=True)
+        if bool(np.asarray(out.info["is_success"])[0]):
+            succ = True
+            break
+        # a collision that precedes success would be a threshold regression
+        assert not bool(np.asarray(state.collision.is_collision)[0])
+    assert succ, "controlled flare descent never fired is_success"
