@@ -355,3 +355,43 @@ def test_episode_stats_overflow_deterministic():
     np.testing.assert_array_equal(got, want)
     assert int(st2.count) == EP_WINDOW
     assert abs(float(episode_stats_means(st2)[0]) - want.mean()) < 1e-4
+
+
+def test_actor_to_policy_transplant():
+    """Cross-algorithm warm start (`policies/transfer.py`): a BPTT actor
+    transplanted into a PPO policy must reproduce its deterministic
+    behaviour exactly up to the head squash — tanh(PPO mean) == the
+    Actor's tanh-squashed action — and reject mismatched architectures."""
+    from visfly_tpu.algos import BPTT
+    from visfly_tpu.policies import actor_to_policy_params
+
+    env = hover_env(requires_grad=True)
+    bptt = BPTT(env, horizon=4, learning_rate=1e-3,
+                policy_kwargs={"latent_dim": (32, 32)})
+    st_b = bptt.init(jax.random.PRNGKey(0))
+    st_b, _ = bptt.update(st_b)  # move off the init point
+
+    env_p = hover_env()
+    ppo = PPO(env_p, n_steps=8, n_epochs=1,
+              policy_kwargs={"pi_layers": [32, 32], "vf_layers": [32, 32]})
+    st_p = ppo.init(jax.random.PRNGKey(1))
+    new_params = actor_to_policy_params(st_b.params, st_p.params,
+                                        log_std=-0.7)
+    st_p = st_p._replace(params=new_params)
+
+    _, obs = env_p.reset(jax.random.PRNGKey(2))
+    a_bptt = np.asarray(bptt.predict(st_b, obs))
+    mean, log_std, _ = ppo.policy.apply(st_p.params, obs)
+    np.testing.assert_allclose(np.tanh(np.asarray(mean)), a_bptt, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(log_std), -0.7, atol=1e-6)
+
+    # value branch untouched by the transplant, and PPO still trains
+    st_p, m = ppo.update(st_p)
+    assert np.isfinite(float(m["loss"]))
+
+    # architecture mismatch is rejected loudly
+    ppo_bad = PPO(env_p, n_steps=8, n_epochs=1,
+                  policy_kwargs={"pi_layers": [64, 64], "vf_layers": [32]})
+    st_bad = ppo_bad.init(jax.random.PRNGKey(3))
+    with pytest.raises(ValueError):
+        actor_to_policy_params(st_b.params, st_bad.params)

@@ -14,6 +14,7 @@ from .networks import (
     gaussian_entropy,
     gaussian_log_prob,
 )
+from .transfer import actor_to_policy_params
 
 __all__ = [
     "MLP",
@@ -28,4 +29,5 @@ __all__ = [
     "ActorCriticPolicy",
     "gaussian_log_prob",
     "gaussian_entropy",
+    "actor_to_policy_params",
 ]
