@@ -186,3 +186,56 @@ def test_bptt_sharded_multiscene_visual_env():
             st, m = trainer.update(st)
         results[sharded] = float(m["actor_loss"])
     assert np.isclose(results[True], results[False], rtol=1e-4), results
+
+
+def test_sharded_exact_triangle_render(tmp_path):
+    """The exact-triangle camera backend (`render/tri_trace.py`) under
+    env-axis sharding: a mesh-backed env (backend='grid' → cameras trace
+    true triangles) renders identical depth sharded vs unsharded, and the
+    carried env state keeps its sharding."""
+    verts = [(x, y, z) for x in (-1.0, 1.0) for y in (-1.0, 1.0)
+             for z in (-1.0, 1.0)]
+    faces = [(1, 2, 4), (1, 4, 3), (5, 7, 8), (5, 8, 6),
+             (1, 5, 6), (1, 6, 2), (3, 4, 8), (3, 8, 7),
+             (1, 3, 7), (1, 7, 5), (2, 6, 8), (2, 8, 4)]
+    p = tmp_path / "cube.obj"
+    with open(p, "w") as fo:
+        for v in verts:
+            fo.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for f in faces:
+            fo.write(f"f {f[0]} {f[1]} {f[2]}\n")
+
+    num_agent = 2 * N_DEV
+    obs_by_mode = {}
+    for sharded in (False, True):
+        env = NavigationEnv(
+            num_agent_per_scene=num_agent, visual=True,
+            scene_kwargs={"path": str(p), "backend": "grid",
+                          "sdf_spacing": 0.2, "margin": 2.0},
+            sensor_kwargs=[{"uuid": "depth", "sensor_type": "depth",
+                            "resolution": [16, 16]}],
+            random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+                {"position": {"mean": [-2.0, 0.0, 0.0],
+                              "half": [0.0, 0.5, 0.5]}}]}},
+            dynamics_kwargs={"dt": 0.03, "ctrl_dt": 0.03,
+                             "action_type": "bodyrate"},
+            max_episode_steps=16,
+            target=[2.0, 0.0, 0.0],
+        )
+        assert getattr(env.scene, "triangles", None) is not None
+        state, obs = env.reset(jax.random.PRNGKey(7))
+        if sharded:
+            from visfly_tpu.parallel import shard_batch_pytree
+
+            mesh = make_mesh(N_DEV)
+            state = shard_batch_pytree(state, mesh, num_agent)
+            with mesh:
+                state, out = jax.jit(env.step)(
+                    state, jnp.zeros((num_agent, 4)))
+                jax.block_until_ready(out.obs["depth"])
+            assert not state.dyn.pos.sharding.is_fully_replicated
+        else:
+            state, out = jax.jit(env.step)(state, jnp.zeros((num_agent, 4)))
+        obs_by_mode[sharded] = np.asarray(out.obs["depth"])
+    np.testing.assert_allclose(obs_by_mode[True], obs_by_mode[False],
+                               atol=1e-5)
