@@ -162,6 +162,35 @@ def test_env_renders_exact_triangles(tmp_path):
                                2.0, atol=0.1)
 
 
+def test_overflow_keeps_nearest_triangles(interpret_pallas):
+    """Distance-priority compaction: when a tile's visible count exceeds
+    ``cap``, the NEAREST triangles are kept — the near cube must render
+    exactly and only the far cube may degrade to background (never the
+    reverse)."""
+    tris = scene_tris()  # near cube at x∈[-1,1], far cube at x∈[3.2,4.8]
+    o = jnp.zeros((1, TILE, 3)) + jnp.asarray([-3.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(11)
+    d = jax.random.normal(key, (1, TILE, 3)) * jnp.asarray([0.0, 0.2, 0.2]) \
+        + jnp.asarray([1.0, 0.0, 0.0])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_full, hit_full, _ = tri_trace_pallas(tris, o_c, d_c,
+                                           cap=tris.shape[1])
+    # cap 8 < the 12 visible near-cube faces alone → guaranteed overflow
+    t_c, hit_c, _ = tri_trace_pallas(tris, o_c, d_c, cap=8)
+    tf = np.asarray(t_full)[0]
+    tc = np.asarray(t_c)[0]
+    hf = np.asarray(hit_full)[0]
+    hc = np.asarray(hit_c)[0]
+    near = hf & (tf < 3.0)  # rays whose true hit is the near cube
+    # near-field rays are bit-identical under overflow
+    np.testing.assert_array_equal(hc[near], hf[near])
+    np.testing.assert_allclose(tc[near], tf[near], atol=1e-6)
+    # degraded rays only ever LOSE far hits (t_c >= t_full, i.e. background)
+    assert np.all(tc >= tf - 1e-6)
+
+
 def test_frustum_cull_camera_tiles(interpret_pallas):
     """Camera-grid rays (one tile per camera) enable the exact frustum
     plane cull (img_w): the image must match the unculled trace and the

