@@ -207,14 +207,14 @@ def test_frustum_cull_camera_tiles(interpret_pallas):
     o_full = jnp.broadcast_to(o_c[:, :, None], (3, 2, 1024)).reshape(3, 1, 2048)
     d_full = d_c.reshape(3, 1, 2048)
 
-    _, counts = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+    _, counts, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
                                  img_w=64)
     c = np.asarray(counts)
     assert c.max() <= tris.shape[1]
     # camera 2 at x=6.5 looking -x sees both cubes; camera 1 sees both too,
     # but each frustum drops SOME back-facing/behind geometry relative to
     # the no-frustum AABB cull
-    _, counts_nofr = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+    _, counts_nofr, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
                                       img_w=None)
     assert c.sum() <= np.asarray(counts_nofr).sum()
 
@@ -224,3 +224,37 @@ def test_frustum_cull_camera_tiles(interpret_pallas):
                                      cap=tris.shape[1], img_w=64)
     np.testing.assert_array_equal(np.asarray(hit_u), np.asarray(hit_c))
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_u), atol=1e-5)
+
+
+def test_cluster_cull_path_matches_xla(interpret_pallas):
+    """Meshes past CLUSTER_CULL_MIN_T cull at Morton-cluster granularity
+    (`tri_cull_compact` → `_cluster_cull_compact`); with cap covering every
+    cluster the image must equal brute force exactly."""
+    from visfly_tpu.render.tri_trace import CLUSTER, CLUSTER_CULL_MIN_T
+
+    # grid of small cubes → > CLUSTER_CULL_MIN_T triangles
+    verts, faces = [], []
+    for i in range(8):
+        for j in range(8):
+            for k in range(3):
+                v, f = cube_mesh((i * 2.0, j * 2.0 - 8.0, k * 2.0), 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+    v = np.concatenate(verts)
+    f = np.concatenate(faces)
+    assert len(f) > CLUSTER_CULL_MIN_T
+    packed = pack_triangles(v, f)
+    assert packed.shape[0] % CLUSTER == 0
+    # Morton sort permutes rows but keeps the triangle set
+    orig = {tuple(np.round(r, 5)) for r in v[f.reshape(-1)].reshape(-1, 9)}
+    kept = {tuple(np.round(r, 5)) for r in packed if np.abs(r).sum() > 0}
+    assert kept == orig
+
+    tris = jnp.asarray(packed[None])
+    o, d = rays(TILE, seed=11, origin=(-4.0, 0.0, 1.0))
+    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
+    np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)

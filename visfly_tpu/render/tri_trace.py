@@ -51,12 +51,46 @@ ROWS, LANES = 8, 128
 BIG = 1e9
 
 
+CLUSTER = 64  # triangles per cull cluster (the two-level path for large
+# meshes); equals one kernel chunk so cluster-granular counts skip exactly
+
+# meshes above this size cull at cluster granularity: the per-triangle
+# argsort/one-hot prepass is O(tiles·T) per tile and stops scaling around
+# a few thousand triangles, while cluster bounds keep it at O(tiles·T/64)
+CLUSTER_CULL_MIN_T = 2048
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """(N, 3) in [0,1] → 30-bit Morton codes (10 bits/axis)."""
+    q = np.clip((x * 1023.0), 0, 1023).astype(np.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2))
+
+
 def pack_triangles(verts: np.ndarray, faces: np.ndarray,
                    pad_to: int = 8) -> np.ndarray:
     """(V, 3) + (F, 3) → (T, 9) rows [a | b | c], zero-padded (degenerate
-    rows never intersect: det == 0)."""
+    rows never intersect: det == 0). Large meshes (> ``CLUSTER_CULL_MIN_T``)
+    are sorted by centroid Morton code and padded to whole clusters so the
+    two-level cluster cull gets spatially tight ``CLUSTER``-triangle groups
+    (triangle order is free to permute: hits min over all rows, and shading
+    samples the baked grids at the hit point, not per-triangle tables)."""
     tris = verts[faces.reshape(-1)].reshape(-1, 9).astype(np.float32)
     t = len(tris)
+    if t > CLUSTER_CULL_MIN_T:
+        cen = tris.reshape(-1, 3, 3).mean(1)
+        lo, hi = cen.min(0), cen.max(0)
+        norm = (cen - lo) / np.maximum(hi - lo, 1e-9)
+        tris = tris[np.argsort(_morton3(norm), kind="stable")]
+        pad_to = max(pad_to, CLUSTER)
     padded = -(-max(t, 1) // pad_to) * pad_to
     out = np.zeros((padded, 9), np.float32)
     out[:t] = tris
@@ -128,6 +162,10 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     lo = (o.min(-1) + max_depth * jnp.minimum(d.min(-1), 0.0)).transpose(1, 2, 0)
     hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0)).transpose(1, 2, 0)
 
+    if T > CLUSTER_CULL_MIN_T and T % CLUSTER == 0:
+        return _cluster_cull_compact(tris, origins_c, dirs_c, max_depth,
+                                     cap, lo, hi, img_w)
+
     v = tris.reshape(S, T, 3, 3)
     tlo = v.min(2)  # (S, T, 3)
     thi = v.max(2)
@@ -163,7 +201,8 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     # triangles — mostly occluded — instead of arbitrary index-order tails
     # (measured on a 5.7k-tri mesh at cap 256: 51% of tiles overflow and
     # index-order tails give 1.4% wrong hits with up to 15 m depth error).
-    apex = origins_c.reshape(3, S, n_tiles, TILE).mean(-1).transpose(1, 2, 0)
+    o4 = origins_c.reshape(3, S, n_tiles, TILE)
+    apex = o4.mean(-1).transpose(1, 2, 0)
     centroid = v.mean(2)  # (S, T, 3)
     dist = jnp.linalg.norm(centroid[:, None] - apex[:, :, None], axis=-1)
     key = jnp.where(active, dist, jnp.inf)  # (S, tiles, T)
@@ -172,7 +211,98 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     out = jnp.einsum("stik,skc->stic", onehot, tris,
                      preferred_element_type=tris.dtype,
                      precision=jax.lax.Precision.HIGHEST)
-    return out, active.sum(-1).astype(jnp.int32)
+    # per-slot conservative lower bound on any hit t from that triangle
+    # (|d| = 1 ⇒ hit t ≥ euclidean distance): centroid distance minus the
+    # triangle circumradius minus the tile's origin-spread radius — feeds
+    # the kernel's whole-tile occlusion early-out
+    rad = jnp.linalg.norm(v - centroid[:, :, None], axis=-1).max(-1)
+    spread = 0.5 * jnp.linalg.norm(
+        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
+    lb_all = jnp.maximum(
+        dist - rad[:, None] - spread[..., None], 0.0)
+    lb_all = jnp.where(active, lb_all, BIG)
+    # same one-hot matmul as the compaction (gather-free: take_along_axis
+    # here was measured at +2.6 ms/frame-batch on the 360-tri scene)
+    lb = jnp.einsum("stik,stk->sti", onehot, lb_all,
+                    preferred_element_type=lb_all.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    return out, active.sum(-1).astype(jnp.int32), lb
+
+
+def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
+                          max_depth: float, cap: int, lo: Array, hi: Array,
+                          img_w: Optional[int]):
+    """Two-level cull for large meshes: ``pack_triangles`` Morton-sorted the
+    rows, so consecutive ``CLUSTER``-triangle groups are spatially tight.
+    Cull/sort/compact whole clusters (64× smaller sort and one-hot matmul
+    than per-triangle) and hand the kernel ``cap//CLUSTER`` nearest visible
+    clusters; counts are cluster-granular, which the chunk-skip consumes
+    exactly (CLUSTER == one 64-row kernel chunk)."""
+    S, T = tris.shape[0], tris.shape[1]
+    C = T // CLUSTER
+    n_tiles = lo.shape[1]
+    v = tris.reshape(S, C, CLUSTER, 3, 3)
+    clo = v.min((2, 3))  # (S, C, 3) cluster AABBs
+    chi = v.max((2, 3))
+    # padding clusters are all-zero rows; a real cluster containing the
+    # origin is indistinguishable, but its zero-rows never intersect anyway
+    nonzero = jnp.any(jnp.abs(tris).reshape(S, C, -1) > 0, -1)  # (S, C)
+    active = jnp.all((lo[:, :, None] <= chi[:, None])
+                     & (hi[:, :, None] >= clo[:, None]), -1)  # (S, tiles, C)
+    active = active & nonzero[:, None]
+
+    if img_w is not None and TILE % img_w == 0:
+        dt4 = dirs_c.reshape(3, S, n_tiles, TILE)
+        corners = jnp.stack([
+            dt4[..., 0], dt4[..., img_w - 1],
+            dt4[..., TILE - 1], dt4[..., TILE - img_w],
+        ], axis=-1).transpose(1, 2, 3, 0)  # (S, tiles, 4, 3)
+        nxt = jnp.roll(corners, -1, axis=2)
+        planes = jnp.cross(corners, nxt)
+        centre = corners.sum(axis=2, keepdims=True)
+        sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
+        planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
+        apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(
+            1, 2, 0)
+        # conservative AABB-vs-wedge: centre distance + Σ|n|·half ≥ 0
+        ccen = (clo + chi) * 0.5
+        half = (chi - clo) * 0.5
+        d_cen = jnp.einsum("stpc,skc->stpk", planes,
+                           ccen, precision=jax.lax.Precision.HIGHEST) \
+            - jnp.einsum("stpc,stc->stp", planes, apex,
+                         precision=jax.lax.Precision.HIGHEST)[..., None]
+        r_eff = jnp.einsum("stpc,skc->stpk", jnp.abs(planes), half,
+                           precision=jax.lax.Precision.HIGHEST)
+        vis = jnp.all(d_cen + r_eff >= 0.0, axis=2)  # (S, tiles, C)
+        active = active & vis
+
+    cap_c = max(1, min(cap, T) // CLUSTER)
+    o4 = origins_c.reshape(3, S, n_tiles, TILE)
+    apex_t = o4.mean(-1).transpose(1, 2, 0)
+    cen = (clo + chi) * 0.5
+    dist = jnp.linalg.norm(cen[:, None] - apex_t[:, :, None], axis=-1)
+    key = jnp.where(active, dist, jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    onehot = (order[:, :, :cap_c, None] == jnp.arange(C)).astype(tris.dtype)
+    grouped = tris.reshape(S, C, CLUSTER * 9)
+    out = jnp.einsum("stik,skc->stic", onehot, grouped,
+                     preferred_element_type=tris.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(S, n_tiles, cap_c * CLUSTER, 9)
+    counts = (active.sum(-1) * CLUSTER).astype(jnp.int32)
+    # conservative hit-t lower bound per kept cluster (centroid distance −
+    # cluster half-diagonal − tile origin spread) for the occlusion
+    # early-out; expand to per-slot so both cull paths share one contract
+    hd = jnp.linalg.norm((chi - clo) * 0.5, axis=-1)  # (S, C)
+    spread = 0.5 * jnp.linalg.norm(
+        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
+    lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
+    lb_all = jnp.where(active, lb_all, BIG)
+    lb_c = jnp.einsum("stik,stk->sti", onehot, lb_all,
+                      preferred_element_type=lb_all.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+    lb = jnp.repeat(lb_c, CLUSTER, axis=-1)
+    return out, counts, lb
 
 
 # ---------------------------------------------------------------------------
@@ -188,16 +318,25 @@ TRI_UNROLL = 64  # rows per grid-chunk: the Mosaic program size is bounded
 # scene, 1024 tiles): 16→6.9 ms, 32→5.5, 64→5.3 (best), 128→5.4
 
 
-def _tri_kernel(cnt_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref,
                 t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
                 *, chunk: int, n_chunks: int, max_depth: float):
     """One (scene, tile, chunk) grid step: intersect the tile's rays with
     this chunk's ``chunk`` compacted triangles, folding the running min-t
-    and its face normal into the revisited output blocks. Compaction sorts
-    active triangles first, so chunks past the tile's visible count carry
-    only padding — their whole vector body is skipped (`cnt_ref`). The last
-    chunk finalises t (clip) and the hit mask."""
+    and its face normal into the revisited output blocks.
+
+    Two whole-tile skips bound the cost by the tile's TRUE workload:
+    * count skip — compaction sorts actives first, so chunks past the
+      tile's visible count are pure padding (``nch_ref`` also clamps the
+      triangle block's index map: dead steps revisit the previous block
+      and cost no DMA);
+    * occlusion early-out — chunks are distance-sorted and ``lb_ref``
+      carries a conservative lower bound on any hit t from this chunk;
+      once every ray's current best (clamped to ``max_depth``) is closer,
+      the chunk cannot change any pixel.
+    The last chunk finalises t (clip) and the hit mask."""
+    si, ti = pl.program_id(0), pl.program_id(1)
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -207,7 +346,9 @@ def _tri_kernel(cnt_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         ny_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
         nz_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
 
-    @pl.when(cnt_ref[pl.program_id(0), pl.program_id(1)] > ci * chunk)
+    worst = jnp.minimum(jnp.max(t_ref[0, 0]), max_depth)
+
+    @pl.when((ci < nch_ref[si, ti]) & (lb_ref[si, ti, ci] < worst))
     def _body():
         ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
         dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
@@ -275,19 +416,23 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     tiles = R // TILE
     cap = min(cap, tris.shape[1])
     sg = jax.lax.stop_gradient
-    tric, counts = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
-                                    max_depth, cap, img_w=img_w)
-    # chunks past a tile's visible count are all padding (compaction is a
-    # stable actives-first sort) — the kernel skips their whole vector body
+    tric, counts, lb = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
+                                        max_depth, cap, img_w=img_w)
+    cap = tric.shape[2]  # effective: cluster path rounds to whole clusters
     counts = jnp.minimum(counts, cap)
     chunk = min(cap, TRI_UNROLL)
     if cap % chunk:
         # whole chunks only — pad with degenerate (never-hitting) rows
         pad = chunk - cap % chunk
         tric = jnp.pad(tric, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        lb = jnp.pad(lb, ((0, 0), (0, 0), (0, pad)), constant_values=BIG)
         cap += pad
     n_chunks = cap // chunk
     tric = tric.reshape(S, tiles, n_chunks, chunk, 9)
+    # chunks needed per tile (count skip) + per-chunk hit-t lower bound
+    # (occlusion early-out) — scalar-prefetch operands
+    nch = jnp.maximum((counts + chunk - 1) // chunk, 1).astype(jnp.int32)
+    lbc = lb.reshape(S, tiles, n_chunks, chunk).min(-1)
 
     def comp(x, c):
         return x[c].reshape(S, tiles, ROWS, LANES)
@@ -296,30 +441,37 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     # revisited across chunks (sequential TPU grid) and carry the running
     # min-t/normal until the final chunk writes the finished tile
     ray_spec = pl.BlockSpec((1, 1, ROWS, LANES),
-                            lambda s, i, c: (s, i, 0, 0),
+                            lambda s, i, c, nch, lbc: (s, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    # whole counts array in SMEM (a (1,1) block violates the TPU block
-    # divisibility rule); the kernel indexes it by program id
-    cnt_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((1, 1, 1, chunk, 9),
-                            lambda s, i, c: (s, i, c, 0, 0),
-                            memory_space=pltpu.SMEM)
+    # the triangle block's index is CLAMPED to the tile's needed chunks:
+    # steps past the count revisit the previous block, so a skipped grid
+    # step costs no DMA (measured ~0.8 µs/step with the naive index map —
+    # that was ~2.5 ms of a 5.3 ms small-scene frame)
+    tri_spec = pl.BlockSpec(
+        (1, 1, 1, chunk, 9),
+        lambda s, i, c, nch, lbc: (s, i, jnp.minimum(c, nch[s, i] - 1),
+                                   0, 0),
+        memory_space=pltpu.SMEM)
     out_sds = jax.ShapeDtypeStruct((S, tiles, ROWS, LANES), jnp.float32)
 
-    tric, counts = jax.lax.optimization_barrier((tric, counts))
+    tric, nch, lbc = jax.lax.optimization_barrier((tric, nch, lbc))
     kernel = functools.partial(_tri_kernel, chunk=chunk,
                                n_chunks=n_chunks, max_depth=max_depth)
-    t, hit, nx, ny, nz = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(S, tiles, n_chunks),
         in_specs=[
-            cnt_spec, tri_spec,
+            tri_spec,
             ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec, ray_spec,
         ],
         out_specs=[ray_spec] * 5,
+    )
+    t, hit, nx, ny, nz = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[out_sds] * 5,
-    )(counts, tric, comp(origins_c, 0), comp(origins_c, 1),
+    )(nch, lbc, tric, comp(origins_c, 0), comp(origins_c, 1),
       comp(origins_c, 2), comp(dirs_c, 0), comp(dirs_c, 1),
       comp(dirs_c, 2))
 
@@ -338,8 +490,8 @@ def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
                img_w: Optional[int] = None) -> dict:
     """Visible-triangle counts per tile + the overflow fraction for sizing
     ``cap`` (the documented coverage contract)."""
-    _, counts = tri_cull_compact(tris, origins_c, dirs_c, max_depth,
-                                 cap=1, img_w=img_w)
+    _, counts, _lb = tri_cull_compact(tris, origins_c, dirs_c, max_depth,
+                                      cap=1, img_w=img_w)
     c = np.asarray(counts)
     return {"max": int(c.max()), "mean": float(c.mean()),
             "p99": float(np.percentile(c, 99)),
