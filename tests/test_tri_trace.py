@@ -258,3 +258,15 @@ def test_cluster_cull_path_matches_xla(interpret_pallas):
     t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
+
+
+def test_default_tri_cap_scales_with_mesh():
+    from visfly_tpu.render.tri_trace import (CLUSTER, CLUSTER_CULL_MIN_T,
+                                             default_tri_cap)
+
+    assert default_tri_cap(24) == 24
+    assert default_tri_cap(360) == 256
+    assert default_tri_cap(CLUSTER_CULL_MIN_T) == 256
+    big = default_tri_cap(5760)
+    assert big >= 1024 and big % CLUSTER == 0 and big <= 5760
+    assert default_tri_cap(100_000) == 25_024  # ~T/4, cluster multiple

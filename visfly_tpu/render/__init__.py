@@ -1,6 +1,8 @@
 from .camera import camera_rays, pixel_dirs_body
 from .sphere_trace import render_camera, render_sensors, trace_rays
 from .tri_trace import (
+    cull_stats,
+    default_tri_cap,
     pack_triangles,
     tri_trace_diff,
     tri_trace_pallas,
@@ -13,6 +15,8 @@ __all__ = [
     "trace_rays",
     "render_camera",
     "render_sensors",
+    "cull_stats",
+    "default_tri_cap",
     "pack_triangles",
     "tri_trace_diff",
     "tri_trace_pallas",

@@ -682,7 +682,7 @@ def render_camera(
             and str(spec.get("render_backend", "tri")) != "grid"):
         from jax.ad_checkpoint import checkpoint_name
 
-        from .tri_trace import tri_trace_diff
+        from .tri_trace import default_tri_cap, tri_trace_diff
 
         S = data.num_scene
         Rs = (n // S) * H * W
@@ -693,7 +693,8 @@ def render_camera(
         d_c3 = jnp.transpose(d_g3, (2, 0, 1))
         use_pallas_tri = (jax.default_backend() == "tpu" and Rs % 1024 == 0)
         t, hit, normal = tri_trace_diff(
-            tri, o_c3, d_c3, max_depth, int(spec.get("tri_cap", 256)),
+            tri, o_c3, d_c3, max_depth,
+            int(spec.get("tri_cap", default_tri_cap(tri.shape[1]))),
             W if (use_pallas_tri and (H * W) % 1024 == 0) else None,
             use_pallas_tri)
         t = checkpoint_name(t, "pallas_render")
