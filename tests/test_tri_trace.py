@@ -270,3 +270,33 @@ def test_default_tri_cap_scales_with_mesh():
     big = default_tri_cap(5760)
     assert big >= 1024 and big % CLUSTER == 0 and big <= 5760
     assert default_tri_cap(100_000) == 25_024  # ~T/4, cluster multiple
+
+
+def test_mesh_backends_render_dynamic_objects():
+    """Dynamic objects (other drones, moving obstacles) must be visible to
+    cameras in MESH scenes too, not just primitive scenes — the reference
+    draws drone models into any scene (`SceneManager.py:1013-1035`). The
+    camera's own sphere (origin inside) is excluded."""
+    from visfly_tpu.render.sphere_trace import render_camera
+    from visfly_tpu.scene.mesh import bake_scene_from_arrays
+
+    v, f = cube_mesh((6.0, 0.0, 1.0), 1.0)  # wall cube ahead of the camera
+    data = bake_scene_from_arrays(v, f, spacing=0.1)
+    pos = jnp.asarray([[0.0, 0.0, 1.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    spec = {"sensor_type": "depth", "resolution": [16, 16]}
+    sid = jnp.zeros((1,), jnp.int32)
+    # one sphere between camera and wall + the camera's own body
+    objects = (jnp.asarray([[[3.0, 0.0, 1.0], [0.0, 0.0, 1.0]]]),
+               jnp.asarray([[0.4, 0.4]]))
+
+    cy, cx = 8, 8
+    d_no = render_camera(data, sid, pos, q, spec)["depth"][0, 0]
+    assert abs(float(d_no[cy, cx]) - 5.0) < 0.25  # cube face at x=5
+    for extra in ({}, {"render_backend": "grid"}):
+        d = render_camera(data, sid, pos, q, {**spec, **extra},
+                          objects=objects)["depth"][0, 0]
+        # centre ray now hits the sphere surface at x = 3 - 0.4
+        assert abs(float(d[cy, cx]) - 2.6) < 0.25, extra
+        # corner rays still reach past the sphere (wall or background)
+        assert float(d[0, 0]) > 3.0, extra

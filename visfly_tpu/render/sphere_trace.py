@@ -36,6 +36,7 @@ from ..scene.queries import sample_sdf
 from .camera import camera_rays
 
 DEFAULT_MAX_DEPTH = 20.0  # background value (`droneEnv.py:306`)
+BIG = 1e9
 _LIGHT_DIR = jnp.asarray([0.33798, 0.24142, 0.90966])  # normalised
 
 
@@ -376,6 +377,36 @@ def trace_cones_grouped(
 # ---------------------------------------------------------------------------
 
 
+def _object_sphere_hits(objects, o, d, max_depth):
+    """Nearest dynamic-object sphere hit per ray (``o``/``d`` (S, R, 3)) —
+    lets cameras see drones/moving obstacles in MESH-backed scenes (tri and
+    grid backends), matching the primitive kernels' composition. Spheres
+    containing a ray's origin are excluded (a drone's own body — the same
+    self-exclusion rule as `prepare_kernel_scene`'s dynamic capsules).
+    Returns (t (S, R) — BIG where no hit, hit (S, R), normal (S, R, 3))."""
+    obj_pos, obj_radius = objects
+    M = obj_pos.shape[1]
+    t = jnp.full(o.shape[:2], BIG, o.dtype)
+    n = jnp.zeros_like(o)
+    for m in range(M):  # M is static and small (objects per scene)
+        c = obj_pos[:, m][:, None]  # (S, 1, 3)
+        r = obj_radius[:, m][:, None]  # (S, 1)
+        e = c - o
+        b = jnp.sum(e * d, -1)
+        ee = jnp.sum(e * e, -1)
+        disc = b * b - (ee - r * r)
+        tm = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        ok = ((disc > 0.0) & (tm > 1e-4) & (ee > r * r) & (r > 1e-6)
+              & (tm < max_depth))
+        tm = jnp.where(ok, tm, BIG)
+        better = tm < t
+        p = o + d * tm[..., None]
+        nm = (p - c) / jnp.maximum(r[..., None], 1e-9)
+        n = jnp.where(better[..., None], nm, n)
+        t = jnp.minimum(t, tm)
+    return t, t < max_depth, n
+
+
 def trace_rays(
     data,
     sid: Array,
@@ -700,6 +731,16 @@ def render_camera(
         t = checkpoint_name(t, "pallas_render")
         hit = checkpoint_name(hit, "pallas_render")
         normal = checkpoint_name(normal, "pallas_render")
+        # dynamic objects (other drones, moving obstacles) composed as
+        # analytic spheres — same visibility as the primitive kernels
+        obj_px = jnp.zeros_like(hit)
+        if objects is not None:
+            t_o, hit_o, n_o = _object_sphere_hits(objects, o_g3, d_g3,
+                                                  max_depth)
+            obj_px = hit_o & (t_o < t)  # tri t is max_depth on misses
+            normal = jnp.where(obj_px[..., None], n_o, normal)
+            t = jnp.where(obj_px, t_o, t)
+            hit = hit | obj_px
         t_img = t.reshape(n, H, W)
         hit_img = hit.reshape(n, H, W)
         if stype == "depth":
@@ -708,6 +749,9 @@ def render_camera(
         # color/semantic: albedo/ids from the baked grids at the EXACT hit
         p_hit3 = (o_g3 + d_g3 * t[..., None]).reshape(n * H * W, 3)
         hit_f = hit.reshape(n * H * W)
+        # object pixels have no row in the scene albedo/semantic grids —
+        # they shade to 0 (the `_shade_primitive_indexed` kid −1 contract)
+        obj_f = obj_px.reshape(n * H * W)
         sid_f = jnp.broadcast_to(sid[:, None], (n, H * W)).reshape(-1)
         X, Y, Z = data.sdf.shape[1:]
         g = jnp.round((p_hit3 - data.origin) / data.spacing).astype(jnp.int32)
@@ -715,14 +759,15 @@ def render_camera(
         lin = ((sid_f * X + g[..., 0]) * Y + g[..., 1]) * Z + g[..., 2]
         if stype == "semantic":
             sem = jnp.take(data.semantic.reshape(-1), lin)
-            sem = jnp.where(hit_f, sem, 0).reshape(n, H, W)
+            sem = jnp.where(hit_f & ~obj_f, sem, 0).reshape(n, H, W)
             return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
         albedo = jnp.take(data.albedo.reshape(-1, 3), lin, axis=0).astype(
             jnp.float32)
         lam = jnp.maximum(
             jnp.sum(normal.reshape(-1, 3) * _LIGHT_DIR, -1), 0.0)
         rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
-        rgb = jnp.where(hit_f[:, None], rgb, 0.0).reshape(n, H, W, 3)
+        rgb = jnp.where((hit_f & ~obj_f)[:, None], rgb, 0.0).reshape(
+            n, H, W, 3)
         return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
     # grid backend (meshes): flat batch with per-ray scene ids
@@ -731,6 +776,17 @@ def render_camera(
     flat_d = dirs.reshape(R, 3)
     flat_sid = jnp.broadcast_to(sid[:, None], (n, H * W)).reshape(R)
     t, hit = trace_rays(data, flat_sid, flat_o, flat_d, n_steps, max_depth)
+
+    obj_flat = jnp.zeros_like(hit)
+    if objects is not None:
+        S_g = data.sdf.shape[0] if num_scene is None else num_scene
+        t_o, hit_o, _ = _object_sphere_hits(
+            objects, flat_o.reshape(S_g, R // S_g, 3),
+            flat_d.reshape(S_g, R // S_g, 3), max_depth)
+        t_o, hit_o = t_o.reshape(R), hit_o.reshape(R)
+        obj_flat = hit_o & (t_o < t)
+        t = jnp.where(obj_flat, t_o, t)
+        hit = hit | obj_flat
 
     if stype == "depth":
         depth = jnp.where(hit.reshape(n, H, W), t.reshape(n, H, W) * cos_f, max_depth)
@@ -744,7 +800,7 @@ def render_camera(
 
     if stype == "semantic":
         sem = jnp.take(data.semantic.reshape(-1), lin)
-        sem = jnp.where(hit, sem, 0).reshape(n, H, W)
+        sem = jnp.where(hit & ~obj_flat, sem, 0).reshape(n, H, W)
         return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
 
     from ..scene.queries import sdf_normal
@@ -753,7 +809,7 @@ def render_camera(
     normal = sdf_normal(data, flat_sid, p_hit)
     lam = jnp.maximum(jnp.sum(normal * _LIGHT_DIR, -1), 0.0)
     rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
-    rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(n, H, W, 3)
+    rgb = jnp.where((hit & ~obj_flat)[:, None], rgb, 0.0).reshape(n, H, W, 3)
     return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
 
