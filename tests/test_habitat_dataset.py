@@ -223,3 +223,46 @@ def test_habitat_exact_backend_renders_triangles(habitat_dataset_dir):
             | ((centres > 2.5) & (centres < 3.5))).all(), centres
     # at least one scene's centre ray reaches the wall, exactly
     assert (np.abs(centres - 7.0) < 0.05).any(), centres
+
+
+def test_habitat_exact_backend_instance_semantics(habitat_dataset_dir):
+    """The exact backend labels its semantic grid per instance (habitat's
+    per-instance semantic sensor): stage renders id 1, object placements
+    render ids 2.., and the albedo palette keys off the instance id."""
+    import jax
+    from visfly_tpu.envs import NavigationEnv
+
+    scenes_dir = os.path.join(habitat_dataset_dir, "configs", "scenes")
+    env = NavigationEnv(
+        num_agent_per_scene=1, num_scene=2, visual=True,
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [1.0, 0.0, 1.5], "half": [0.0, 0.0, 0.0]}}
+        ]}},
+        scene_kwargs={"path": scenes_dir, "backend": "grid",
+                      "sdf_spacing": 0.1},
+        sensor_kwargs=[{"uuid": "semantic", "sensor_type": "semantic",
+                        "resolution": [32, 32]},
+                       {"uuid": "color", "sensor_type": "color",
+                        "resolution": [32, 32]}],
+        target=[7.0, 0.0, 1.0],
+    )
+    state, _obs = env.reset(jax.random.PRNGKey(0))
+    from visfly_tpu.render.sphere_trace import render_sensors
+
+    sens = render_sensors(env, state)
+    sem = np.asarray(sens["semantic"])[:, 0]  # (2, 32, 32)
+    for s in range(2):
+        ids = set(np.unique(sem[s])) - {0}
+        assert 1 in ids, ids  # stage visible
+        assert any(i >= 2 for i in ids), ids  # a cube instance visible
+    # scene with two cubes shows two distinct object ids
+    assert any(len(set(np.unique(sem[s])) - {0, 1}) >= 2 for s in range(2))
+    # the cube pixels get a palette color distinct from the gray stage
+    rgb = np.asarray(sens["color"])  # (2, 3, 32, 32)
+    for s in range(2):
+        obj_px = sem[s] >= 2
+        stage_px = sem[s] == 1
+        assert obj_px.any() and stage_px.any()
+        c_obj = rgb[s, :, obj_px].mean(axis=0)
+        c_stage = rgb[s, :, stage_px].mean(axis=0)
+        assert np.abs(c_obj - c_stage).max() > 20.0

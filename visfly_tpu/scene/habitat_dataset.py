@@ -215,9 +215,13 @@ def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str
 def load_habitat_scene_mesh(
     scene_instance_path: str,
     dataset: Optional[HabitatDataset] = None,
-) -> Tuple[np.ndarray, np.ndarray, Optional[Tuple[np.ndarray, np.ndarray]]]:
+    return_instances: bool = False,
+):
     """One scene instance → merged std-frame triangle soup:
-    (verts, faces, stage_bounds)."""
+    (verts, faces, stage_bounds). With ``return_instances`` a fourth array
+    is appended: per-face instance ids (0 = stage, 1.. = object placements
+    in file order) — the exact-backend bake labels its semantic grid with
+    these, reproducing habitat's per-instance semantic sensor."""
     if dataset is None:
         cfg = find_dataset_config(scene_instance_path)
         if cfg is None:
@@ -229,26 +233,31 @@ def load_habitat_scene_mesh(
     inst_cfg = _read_json(scene_instance_path)
     all_v: List[np.ndarray] = []
     all_f: List[np.ndarray] = []
+    face_ids: List[np.ndarray] = []
     stage_bounds = None
 
-    def add(v, f):
+    def add(v, f, iid):
         base = sum(len(x) for x in all_v)
         all_v.append(v)
         all_f.append(np.asarray(f, np.int64) + base)
+        face_ids.append(np.full(len(f), iid, np.int32))
 
     stage = inst_cfg.get("stage_instance")
     if stage is not None and stage.get("template_name", "NONE") != "NONE":
         v, f = _instance_world_verts(dataset, stage, "stage")
-        add(v, f)
+        add(v, f, 0)
         stage_bounds = (v.min(axis=0), v.max(axis=0))
-    for inst in inst_cfg.get("object_instances", []):
+    for k, inst in enumerate(inst_cfg.get("object_instances", [])):
         v, f = _instance_world_verts(dataset, inst, "object")
-        add(v, f)
+        add(v, f, k + 1)
 
     if not all_v:
         raise ValueError(f"{scene_instance_path}: empty scene instance")
-    return (np.concatenate(all_v, axis=0), np.concatenate(all_f, axis=0),
-            stage_bounds)
+    out = (np.concatenate(all_v, axis=0), np.concatenate(all_f, axis=0),
+           stage_bounds)
+    if return_instances:
+        return out + (np.concatenate(face_ids, axis=0),)
+    return out
 
 
 def load_habitat_scene(

@@ -259,40 +259,83 @@ def bake_scene_from_arrays(
                                    margin=margin, max_cells=max_cells)
 
 
+def instance_palette(n: int) -> np.ndarray:
+    """(n, 3) uint8 deterministic instance colors: golden-angle hues at two
+    lightness bands — visually distinct and stable across runs. Row 0 (the
+    stage) stays the neutral 180-gray of plain imported meshes."""
+    import colorsys
+
+    out = np.full((max(n, 1), 3), 180, np.uint8)
+    for i in range(1, n):
+        h = (i * 0.381966) % 1.0
+        light = 0.55 if i % 2 else 0.4
+        out[i] = np.asarray(colorsys.hls_to_rgb(h, light, 0.9)) * 255
+    return out
+
+
 def bake_scenes_from_meshes(
-    meshes,  # sequence of (verts, faces)
+    meshes,  # sequence of (verts, faces) or (verts, faces, face_inst_ids)
     spacing: float = 0.1,
     margin: float = 0.5,
     max_cells: int = 384,
 ):
     """Multiple triangle soups → one stacked ``SceneData``: all scenes share
     a grid frame (union bounds — SceneData carries ONE origin/spacing), and
-    triangle soups are zero-padded to a common count for the kernel."""
+    triangle soups are zero-padded to a common count for the kernel.
+
+    A mesh given as ``(verts, faces, face_inst_ids)`` gets a PER-INSTANCE
+    semantic grid — every cell is labeled ``nearest instance's id + 1``
+    (habitat's per-instance semantic sensor; ids wrap at 255 to stay uint8)
+    and an id-keyed albedo from :func:`instance_palette`, so the exact-tri
+    and grid backends render instance segmentation and visually distinct
+    objects. Two-tuples keep the flat gray/1 defaults."""
     import jax.numpy as jnp
 
     from .scene import SceneData
     from ..render.tri_trace import pack_triangles
 
-    los = np.stack([v.min(axis=0) for v, _ in meshes])
-    his = np.stack([v.max(axis=0) for v, _ in meshes])
+    meshes = [m if len(m) == 3 else (m[0], m[1], None) for m in meshes]
+    los = np.stack([v.min(axis=0) for v, _, _ in meshes])
+    his = np.stack([v.max(axis=0) for v, _, _ in meshes])
     lo = los.min(axis=0) - margin
     hi = his.max(axis=0) + margin
     dims = np.minimum(np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells)
     spacing = float(np.max((hi - lo) / (dims - 1)))
-    grids = [mesh_to_sdf_grid(v, f, lo, spacing,
-                              tuple(int(d) for d in dims))
-             for v, f in meshes]
-    packed = [pack_triangles(v, f) for v, f in meshes]
+    dims_t = tuple(int(d) for d in dims)
+    grids = [mesh_to_sdf_grid(v, f, lo, spacing, dims_t)
+             for v, f, _ in meshes]
+    packed = [pack_triangles(v, f) for v, f, _ in meshes]
     t_max = max(p.shape[0] for p in packed)
     tris = np.zeros((len(packed), t_max, 9), np.float32)
     for i, p in enumerate(packed):
         tris[i, : p.shape[0]] = p
     S = len(meshes)
     shape = grids[0].shape
+
+    semantic = np.ones((S, *shape), np.uint8)
+    albedo = np.full((S, *shape, 3), 180, np.uint8)
+    for i, (v, f, inst) in enumerate(meshes):
+        if inst is None or len(np.unique(inst)) < 2:
+            continue
+        # label every cell with the nearest instance (running argmin of
+        # per-instance unsigned distance grids — one grid in memory at a
+        # time); only cells near a surface are ever sampled by shading
+        best = np.full(shape, np.inf, np.float32)
+        win = np.zeros(shape, np.int32)
+        for iid in np.unique(inst):
+            d = mesh_to_sdf_grid(v, f[inst == iid], lo, spacing, dims_t,
+                                 signed=False)
+            m = d < best
+            best = np.where(m, d, best)
+            win = np.where(m, int(iid), win)
+        semantic[i] = (win % 255 + 1).astype(np.uint8)
+        pal = instance_palette(int(win.max()) + 1)
+        albedo[i] = pal[win]
+
     return SceneData(
         sdf=jnp.asarray(np.stack(grids)),
-        albedo=jnp.full((S, *shape, 3), 180, jnp.uint8),
-        semantic=jnp.ones((S, *shape), jnp.uint8),
+        albedo=jnp.asarray(albedo),
+        semantic=jnp.asarray(semantic),
         origin=jnp.asarray(lo, jnp.float32),
         spacing=jnp.asarray(spacing, jnp.float32),
         bbox=jnp.asarray(np.stack([lo + margin, hi - margin]), jnp.float32),
