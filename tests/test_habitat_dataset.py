@@ -266,3 +266,21 @@ def test_habitat_exact_backend_instance_semantics(habitat_dataset_dir):
         c_obj = rgb[s, :, obj_px].mean(axis=0)
         c_stage = rgb[s, :, stage_px].mean(axis=0)
         assert np.abs(c_obj - c_stage).max() > 20.0
+
+
+def test_habitat_primitive_backend_instance_semantics(habitat_dataset_dir):
+    """The DEFAULT (decomposed-primitive) backend also labels primitives by
+    instance: boxes covering an object placement carry its id + palette
+    color, not the stage's."""
+    from visfly_tpu.scene.habitat_dataset import load_habitat_scene
+
+    f = os.path.join(habitat_dataset_dir, "configs", "scenes",
+                     "garage_b.scene_instance.json")
+    spec = load_habitat_scene(f)
+    sems = {p["semantic"] for p in spec.primitives}
+    assert 1 in sems  # stage boxes
+    assert {2, 3} <= sems, sems  # both cube instances got their own boxes
+    # a cube primitive sits near its placement (std (-?, ...)); check one
+    cube_prims = [p for p in spec.primitives if p["semantic"] == 2]
+    c = np.asarray(cube_prims[0]["center"])
+    assert np.linalg.norm(c - np.asarray([4.0, -1.0, 1.0])) < 1.0, c

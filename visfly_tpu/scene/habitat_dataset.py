@@ -278,9 +278,13 @@ def load_habitat_scene(
     is the stage's bounding box. For EXACT rendering instead, pass
     ``scene_kwargs={"backend": "grid"}`` — the env then bakes the merged
     mesh with the true triangles attached (`mesh.bake_scene_from_arrays`)
-    and cameras ray-trace them."""
-    verts, faces, stage_bounds = load_habitat_scene_mesh(
-        scene_instance_path, dataset)
+    and cameras ray-trace them.
+
+    Each decomposed primitive is labeled with the instance nearest its
+    center (semantic id = instance + 1, palette color), so the semantic
+    sensor reports per-instance ids in the DEFAULT backend too."""
+    verts, faces, stage_bounds, face_inst = load_habitat_scene_mesh(
+        scene_instance_path, dataset, return_instances=True)
 
     from .decompose import decompose_verts_faces
 
@@ -288,6 +292,23 @@ def load_habitat_scene(
     spec = decompose_verts_faces(
         verts, faces, name=name, spacing=spacing, margin=margin,
         max_prims=max_prims, min_cover=min_cover, max_cells=max_cells)
+
+    ids = np.unique(face_inst)
+    if len(ids) > 1:
+        from .mesh import instance_palette
+
+        # vertex sets per instance (vertex distance ≈ surface distance at
+        # the scale of a primitive that hugs the instance)
+        vsets = [np.unique(faces[face_inst == iid].reshape(-1))
+                 for iid in ids]
+        pal = instance_palette(int(ids.max()) + 1)
+        for prm in spec.primitives:
+            c = np.asarray(prm["center"], np.float32)
+            d = [np.linalg.norm(verts[vs] - c, axis=-1).min()
+                 for vs in vsets]
+            iid = int(ids[int(np.argmin(d))])
+            prm["semantic"] = iid % 255 + 1
+            prm["color"] = pal[iid]
     if stage_bounds is not None:
         # flight volume = the stage's extent, not the union with objects
         spec = SceneSpec(
