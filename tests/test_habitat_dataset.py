@@ -284,3 +284,89 @@ def test_habitat_primitive_backend_instance_semantics(habitat_dataset_dir):
     cube_prims = [p for p in spec.primitives if p["semantic"] == 2]
     c = np.asarray(cube_prims[0]["center"])
     assert np.linalg.norm(c - np.asarray([4.0, -1.0, 1.0])) < 1.0, c
+
+
+def test_mesh_base_color_parsers(tmp_path):
+    """Asset material colors: OBJ-MTL Kd and glTF baseColorFactor, face/
+    index-count weighted."""
+    from visfly_tpu.scene.mesh import mesh_base_color
+
+    (tmp_path / "red.mtl").write_text(
+        "newmtl a\nKd 1.0 0.0 0.0\nnewmtl b\nKd 0.0 0.0 1.0\n")
+    obj = tmp_path / "two.obj"
+    obj.write_text(
+        "mtllib red.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "usemtl a\nf 1 2 3\nf 1 2 3\nf 1 2 3\n"  # 3 red faces
+        "usemtl b\nf 1 2 3\n")                    # 1 blue face
+    c = mesh_base_color(str(obj))
+    assert c is not None and c[0] > 180 and c[2] < 80, c  # red-dominated
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "materials": [{"pbrMetallicRoughness":
+                       {"baseColorFactor": [0.0, 1.0, 0.0, 1.0]}}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "accessors": [{"count": 3, "componentType": 5126, "type": "VEC3"},
+                      {"count": 3, "componentType": 5125, "type": "SCALAR"}],
+    }
+    g = tmp_path / "green.gltf"
+    g.write_text(json.dumps(gltf))
+    c = mesh_base_color(str(g))
+    assert c is not None and c[1] == 255 and c[0] == 0, c
+
+    # no material → None (palette fallback)
+    plain = tmp_path / "plain.obj"
+    plain.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    assert mesh_base_color(str(plain)) is None
+
+
+def test_habitat_material_colors_reach_render(tmp_path):
+    """An object whose asset carries a red material renders red pixels in
+    the DEFAULT backend (primitive labeling) and the spec records the
+    material color rather than a palette entry."""
+    from visfly_tpu.scene.habitat_dataset import load_habitat_scene
+
+    for d in ("configs/stages", "configs/objects", "configs/scenes",
+              "meshes"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    _write_cuboid_obj(tmp_path / "meshes" / "floor.obj",
+                      [0.0, -0.1, -2.0], [2.2, 0.1, 2.2])
+    (tmp_path / "meshes" / "red.mtl").write_text("newmtl r\nKd 1 0 0\n")
+    # red cube authored with a material library
+    cube = tmp_path / "meshes" / "cube.obj"
+    v_lines, f_lines = [], []
+    c, h = np.zeros(3), np.full(3, 0.3)
+    corners = [c + h * np.array([sx, sy, sz])
+               for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    for p in corners:
+        v_lines.append(f"v {p[0]} {p[1]} {p[2]}")
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+    for a, b, cc, d in quads:
+        f_lines.append(f"f {a+1} {b+1} {cc+1}")
+        f_lines.append(f"f {a+1} {cc+1} {d+1}")
+    cube.write_text("mtllib red.mtl\nusemtl r\n"
+                    + "\n".join(v_lines + f_lines) + "\n")
+
+    (tmp_path / "configs" / "stages" / "floor.stage_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/floor.obj"}))
+    (tmp_path / "configs" / "objects" / "cube.object_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/cube.obj"}))
+    (tmp_path / "configs" / "scenes" / "s.scene_instance.json").write_text(
+        json.dumps({"stage_instance": {"template_name": "floor"},
+                    "object_instances": [
+                        {"template_name": "cube",
+                         "translation": [0.0, 1.0, -2.0]}]}))
+    (tmp_path / "t.scene_dataset_config.json").write_text(json.dumps({
+        "stages": {"paths": {".json": ["configs/stages/*.json"]}},
+        "objects": {"paths": {".json": ["configs/objects/*.json"]}},
+        "scene_instances": {"paths": {".json": ["configs/scenes/*.json"]}},
+    }))
+
+    spec = load_habitat_scene(
+        str(tmp_path / "configs" / "scenes" / "s.scene_instance.json"))
+    cube_prims = [p for p in spec.primitives if p["semantic"] == 2]
+    assert cube_prims, [p["semantic"] for p in spec.primitives]
+    col = np.asarray(cube_prims[0]["color"], int)
+    assert col[0] == 255 and col[1] == 0 and col[2] == 0, col

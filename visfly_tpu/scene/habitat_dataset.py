@@ -172,11 +172,10 @@ def list_habitat_scenes(path: str) -> List[str]:
 _MESH_CACHE: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _load_asset(config_path: str, kind: str) -> Tuple[np.ndarray, np.ndarray,
-                                                      np.ndarray]:
-    """Stage/object config JSON → (verts, faces, base_scale) in the asset's
-    habitat-local frame. Raw meshes are cached per asset file (objects
-    repeat across instances/scenes)."""
+def _load_asset(config_path: str, kind: str):
+    """Stage/object config JSON → (verts, faces, base_scale, asset_color)
+    in the asset's habitat-local frame. Raw meshes are cached per asset file
+    (objects repeat across instances/scenes)."""
     cfg = _read_json(config_path)
     asset = cfg.get("render_asset") or cfg.get("collision_asset")
     if asset is None:
@@ -184,21 +183,22 @@ def _load_asset(config_path: str, kind: str) -> Tuple[np.ndarray, np.ndarray,
     mesh_path = os.path.normpath(
         os.path.join(os.path.dirname(config_path), asset))
     if mesh_path not in _MESH_CACHE:
-        from .mesh import load_mesh
+        from .mesh import load_mesh, mesh_base_color
 
-        _MESH_CACHE[mesh_path] = load_mesh(mesh_path)
-    verts, faces = _MESH_CACHE[mesh_path]
+        _MESH_CACHE[mesh_path] = load_mesh(mesh_path) + (
+            mesh_base_color(mesh_path),)
+    verts, faces, color = _MESH_CACHE[mesh_path]
     scale = np.asarray(cfg.get("scale", [1.0, 1.0, 1.0]), np.float64)
     if scale.ndim == 0:
         scale = np.full(3, float(scale))
-    return verts, faces, scale
+    return verts, faces, scale, color
 
 
-def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str
-                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """One stage/object instance → (verts_std, faces) in the z-up frame."""
+def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str):
+    """One stage/object instance → (verts_std, faces, asset_color) in the
+    z-up frame (asset_color (3,) uint8 or None — material base color)."""
     cfg_path = dataset.resolve_template(inst["template_name"], kind)
-    verts, faces, base_scale = _load_asset(cfg_path, kind)
+    verts, faces, base_scale, color = _load_asset(cfg_path, kind)
     v = np.asarray(verts, np.float64) * base_scale
     s = inst.get("non_uniform_scale")
     if s is None and "uniform_scale" in inst:
@@ -209,7 +209,7 @@ def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str
         v = v @ _quat_to_mat(inst["rotation"]).T
     if "translation" in inst:
         v = v + np.asarray(inst["translation"], np.float64)
-    return (v @ _H2S).astype(np.float32), faces
+    return (v @ _H2S).astype(np.float32), faces, color
 
 
 def load_habitat_scene_mesh(
@@ -218,10 +218,12 @@ def load_habitat_scene_mesh(
     return_instances: bool = False,
 ):
     """One scene instance → merged std-frame triangle soup:
-    (verts, faces, stage_bounds). With ``return_instances`` a fourth array
-    is appended: per-face instance ids (0 = stage, 1.. = object placements
+    (verts, faces, stage_bounds). With ``return_instances`` two more arrays
+    are appended: per-face instance ids (0 = stage, 1.. = object placements
     in file order) — the exact-backend bake labels its semantic grid with
-    these, reproducing habitat's per-instance semantic sensor."""
+    these, reproducing habitat's per-instance semantic sensor — and
+    per-instance colors (id-indexed (K, 3) uint8: the asset's material base
+    color when it has one, the deterministic palette otherwise)."""
     if dataset is None:
         cfg = find_dataset_config(scene_instance_path)
         if cfg is None:
@@ -234,29 +236,40 @@ def load_habitat_scene_mesh(
     all_v: List[np.ndarray] = []
     all_f: List[np.ndarray] = []
     face_ids: List[np.ndarray] = []
+    asset_colors: Dict[int, Optional[np.ndarray]] = {}
     stage_bounds = None
 
-    def add(v, f, iid):
+    def add(v, f, iid, color):
         base = sum(len(x) for x in all_v)
         all_v.append(v)
         all_f.append(np.asarray(f, np.int64) + base)
         face_ids.append(np.full(len(f), iid, np.int32))
+        asset_colors[iid] = color
 
     stage = inst_cfg.get("stage_instance")
     if stage is not None and stage.get("template_name", "NONE") != "NONE":
-        v, f = _instance_world_verts(dataset, stage, "stage")
-        add(v, f, 0)
+        v, f, col = _instance_world_verts(dataset, stage, "stage")
+        add(v, f, 0, col)
         stage_bounds = (v.min(axis=0), v.max(axis=0))
     for k, inst in enumerate(inst_cfg.get("object_instances", [])):
-        v, f = _instance_world_verts(dataset, inst, "object")
-        add(v, f, k + 1)
+        v, f, col = _instance_world_verts(dataset, inst, "object")
+        add(v, f, k + 1, col)
 
     if not all_v:
         raise ValueError(f"{scene_instance_path}: empty scene instance")
     out = (np.concatenate(all_v, axis=0), np.concatenate(all_f, axis=0),
            stage_bounds)
     if return_instances:
-        return out + (np.concatenate(face_ids, axis=0),)
+        # per-instance colors indexed by instance id: asset material base
+        # color where the mesh carries one, the deterministic palette
+        # otherwise
+        from .mesh import instance_palette
+
+        colors = instance_palette(max(asset_colors) + 1)
+        for iid, c in asset_colors.items():
+            if c is not None:
+                colors[iid] = c
+        return out + (np.concatenate(face_ids, axis=0), colors)
     return out
 
 
@@ -283,8 +296,9 @@ def load_habitat_scene(
     Each decomposed primitive is labeled with the instance nearest its
     center (semantic id = instance + 1, palette color), so the semantic
     sensor reports per-instance ids in the DEFAULT backend too."""
-    verts, faces, stage_bounds, face_inst = load_habitat_scene_mesh(
-        scene_instance_path, dataset, return_instances=True)
+    verts, faces, stage_bounds, face_inst, inst_colors = \
+        load_habitat_scene_mesh(scene_instance_path, dataset,
+                                return_instances=True)
 
     from .decompose import decompose_verts_faces
 
@@ -295,20 +309,17 @@ def load_habitat_scene(
 
     ids = np.unique(face_inst)
     if len(ids) > 1:
-        from .mesh import instance_palette
-
         # vertex sets per instance (vertex distance ≈ surface distance at
         # the scale of a primitive that hugs the instance)
         vsets = [np.unique(faces[face_inst == iid].reshape(-1))
                  for iid in ids]
-        pal = instance_palette(int(ids.max()) + 1)
         for prm in spec.primitives:
             c = np.asarray(prm["center"], np.float32)
             d = [np.linalg.norm(verts[vs] - c, axis=-1).min()
                  for vs in vsets]
             iid = int(ids[int(np.argmin(d))])
             prm["semantic"] = iid % 255 + 1
-            prm["color"] = pal[iid]
+            prm["color"] = inst_colors[iid]
     if stage_bounds is not None:
         # flight volume = the stage's extent, not the union with objects
         spec = SceneSpec(

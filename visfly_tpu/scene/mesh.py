@@ -164,6 +164,90 @@ def load_glb(path: str) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
+def mesh_base_color(path: str):
+    """Representative base color of a mesh asset, (3,) uint8 or None: the
+    face-weighted mean of GLB pbrMetallicRoughness ``baseColorFactor`` /
+    OBJ-MTL diffuse ``Kd``. None when the asset carries no material —
+    callers fall back to the instance palette. (The reference renders full
+    habitat textures through GL; a per-asset mean color is the grid/
+    primitive-bake analogue.)"""
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext in (".glb", ".gltf"):
+            return _glb_base_color(path)
+        if ext == ".obj":
+            return _obj_base_color(path)
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+    return None
+
+
+def _glb_base_color(path: str):
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) == 12 and struct.unpack("<I", head[:4])[0] == 0x46546C67:
+            clen, ctype = struct.unpack("<II", f.read(8))
+            if ctype != 0x4E4F534A:
+                return None
+            gltf = json.loads(f.read(clen).decode("utf-8"))
+        else:  # plain-JSON .gltf
+            f.seek(0)
+            gltf = json.loads(f.read().decode("utf-8"))
+    mats = gltf.get("materials", [])
+    if not mats:
+        return None
+    total_w = 0.0
+    acc = np.zeros(3)
+    for mesh in gltf.get("meshes", []):
+        for prim in mesh.get("primitives", []):
+            mi = prim.get("material")
+            if mi is None:
+                continue
+            ai = prim.get("indices", prim.get("attributes", {}).get("POSITION"))
+            w = float(gltf["accessors"][ai]["count"]) if ai is not None else 1.0
+            factor = mats[mi].get("pbrMetallicRoughness", {}).get(
+                "baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+            acc += w * np.asarray(factor[:3])
+            total_w += w
+    if total_w == 0.0:
+        return None
+    return np.clip(acc / total_w * 255.0, 0, 255).astype(np.uint8)
+
+
+def _obj_base_color(path: str):
+    mtl_kd = {}
+    mtl_files = []
+    counts = {}
+    cur = None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("mtllib"):
+                mtl_files += line.split()[1:]
+            elif line.startswith("usemtl"):
+                cur = line.split(None, 1)[1].strip()
+            elif line.startswith("f ") and cur is not None:
+                counts[cur] = counts.get(cur, 0) + 1
+    for m in mtl_files:
+        mp = os.path.join(os.path.dirname(path), m)
+        if not os.path.isfile(mp):
+            continue
+        name = None
+        with open(mp) as f:
+            for line in f:
+                if line.startswith("newmtl"):
+                    name = line.split(None, 1)[1].strip()
+                elif line.startswith("Kd ") and name is not None:
+                    mtl_kd[name] = np.asarray(
+                        [float(x) for x in line.split()[1:4]])
+    pairs = [(counts.get(n, 1), kd) for n, kd in mtl_kd.items()]
+    if not pairs:
+        return None
+    w = np.asarray([p[0] for p in pairs], float)
+    kds = np.stack([p[1] for p in pairs])
+    return np.clip((w[:, None] * kds).sum(0) / w.sum() * 255.0,
+                   0, 255).astype(np.uint8)
+
+
 def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
     if path.endswith(".obj"):
         return load_obj(path)
@@ -274,7 +358,7 @@ def instance_palette(n: int) -> np.ndarray:
 
 
 def bake_scenes_from_meshes(
-    meshes,  # sequence of (verts, faces) or (verts, faces, face_inst_ids)
+    meshes,  # (verts, faces[, face_inst_ids[, inst_colors]]) per scene
     spacing: float = 0.1,
     margin: float = 0.5,
     max_cells: int = 384,
@@ -286,25 +370,26 @@ def bake_scenes_from_meshes(
     A mesh given as ``(verts, faces, face_inst_ids)`` gets a PER-INSTANCE
     semantic grid — every cell is labeled ``nearest instance's id + 1``
     (habitat's per-instance semantic sensor; ids wrap at 255 to stay uint8)
-    and an id-keyed albedo from :func:`instance_palette`, so the exact-tri
-    and grid backends render instance segmentation and visually distinct
-    objects. Two-tuples keep the flat gray/1 defaults."""
+    and an id-keyed albedo (the optional fourth element, id-indexed (K, 3)
+    uint8 — asset material colors; :func:`instance_palette` otherwise), so
+    the exact-tri and grid backends render instance segmentation and
+    distinct objects. Two-tuples keep the flat gray/1 defaults."""
     import jax.numpy as jnp
 
     from .scene import SceneData
     from ..render.tri_trace import pack_triangles
 
-    meshes = [m if len(m) == 3 else (m[0], m[1], None) for m in meshes]
-    los = np.stack([v.min(axis=0) for v, _, _ in meshes])
-    his = np.stack([v.max(axis=0) for v, _, _ in meshes])
+    meshes = [tuple(m) + (None,) * (4 - len(m)) for m in meshes]
+    los = np.stack([m[0].min(axis=0) for m in meshes])
+    his = np.stack([m[0].max(axis=0) for m in meshes])
     lo = los.min(axis=0) - margin
     hi = his.max(axis=0) + margin
     dims = np.minimum(np.ceil((hi - lo) / spacing).astype(int) + 1, max_cells)
     spacing = float(np.max((hi - lo) / (dims - 1)))
     dims_t = tuple(int(d) for d in dims)
     grids = [mesh_to_sdf_grid(v, f, lo, spacing, dims_t)
-             for v, f, _ in meshes]
-    packed = [pack_triangles(v, f) for v, f, _ in meshes]
+             for v, f, _, _ in meshes]
+    packed = [pack_triangles(v, f) for v, f, _, _ in meshes]
     t_max = max(p.shape[0] for p in packed)
     tris = np.zeros((len(packed), t_max, 9), np.float32)
     for i, p in enumerate(packed):
@@ -314,7 +399,7 @@ def bake_scenes_from_meshes(
 
     semantic = np.ones((S, *shape), np.uint8)
     albedo = np.full((S, *shape, 3), 180, np.uint8)
-    for i, (v, f, inst) in enumerate(meshes):
+    for i, (v, f, inst, colors) in enumerate(meshes):
         if inst is None or len(np.unique(inst)) < 2:
             continue
         # label every cell with the nearest instance (running argmin of
@@ -329,7 +414,8 @@ def bake_scenes_from_meshes(
             best = np.where(m, d, best)
             win = np.where(m, int(iid), win)
         semantic[i] = (win % 255 + 1).astype(np.uint8)
-        pal = instance_palette(int(win.max()) + 1)
+        pal = (np.asarray(colors, np.uint8) if colors is not None
+               else instance_palette(int(win.max()) + 1))
         albedo[i] = pal[win]
 
     return SceneData(

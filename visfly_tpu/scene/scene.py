@@ -504,12 +504,13 @@ def load_scenes_for_env(env):
             from .habitat_dataset import load_habitat_scene_mesh
             from .mesh import bake_scenes_from_meshes
 
-            # (verts, faces, face_inst_ids) → per-instance semantic grid +
-            # id-keyed albedo (habitat's per-instance semantic sensor)
+            # (verts, faces, face_inst_ids, inst_colors) → per-instance
+            # semantic grid + material/palette albedo (habitat's
+            # per-instance semantic sensor)
             loaded = [load_habitat_scene_mesh(f, env._habitat_dataset,
                                               return_instances=True)
                       for f in files]
-            meshes = [(v, fc, inst) for v, fc, _b, inst in loaded]
+            meshes = [(v, fc, inst, cols) for v, fc, _b, inst, cols in loaded]
             return bake_scenes_from_meshes(
                 meshes, spacing=kw.get("sdf_spacing", 0.1),
                 margin=kw.get("margin", 0.5),
