@@ -336,7 +336,8 @@ TRI_UNROLL = 64  # rows per grid-chunk: the Mosaic program size is bounded
 def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref,
                 t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
-                *, chunk: int, n_chunks: int, max_depth: float):
+                *, chunk: int, n_chunks: int, max_depth: float,
+                shared_origin: bool):
     """One (scene, tile, chunk) grid step: intersect the tile's rays with
     this chunk's ``chunk`` compacted triangles, folding the running min-t
     and its face normal into the revisited output blocks.
@@ -363,10 +364,12 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
     worst = jnp.minimum(jnp.max(t_ref[0, 0]), max_depth)
 
-    @pl.when((ci < nch_ref[si, ti]) & (lb_ref[si, ti, ci] < worst))
+    @pl.when((ci < nch_ref[si, ti])
+             & (lb_ref[si, ti * n_chunks + ci] < worst))
     def _body():
-        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
         dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
+        if not shared_origin:
+            ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
         tbest = t_ref[0, 0]
         nxb = nx_ref[0, 0]
         nyb = ny_ref[0, 0]
@@ -375,34 +378,65 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             def Tr(c):
                 return tri_ref[0, 0, 0, j, c]
 
-            ax, ay, az = Tr(0), Tr(1), Tr(2)
-            e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
-            e2x, e2y, e2z = Tr(6) - ax, Tr(7) - ay, Tr(8) - az
-            # pvec = d × e2 (e2 scalar)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-            okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
-            tx, ty, tz = ox - ax, oy - ay, oz - az
-            u = (tx * px + ty * py + tz * pz) * inv
-            # qvec = tvec × e1
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv
-            tk = (e2x * qx + e2y * qy + e2z * qz) * inv
-            ok = (okd * (u >= 0.0).astype(jnp.float32)
-                  * (vv >= 0.0).astype(jnp.float32)
-                  * (u + vv <= 1.0).astype(jnp.float32)
-                  * (tk > 1e-4).astype(jnp.float32))
+            if shared_origin:
+                # camera tiles: one origin per tile ⇒ Möller–Trumbore is
+                # LINEAR in d. det = d·(e2×e1), u·det = d·(e2×tvec),
+                # v·det = d·(tvec×e1), t·det = e2·(tvec×e1). The XLA
+                # prepass ships those per-triangle coefficients as the
+                # payload (`_tri_coeffs`) — the kernel's scalar-core work
+                # is 10 loads/row (computing the crosses in-kernel was
+                # measured scalar-bound: ~45 scalar ops × 64 rows starved
+                # the VPU) and the per-ray body is 3 dot products + tests
+                # (~half the vector flops of classic MT)
+                c1x, c1y, c1z = Tr(0), Tr(1), Tr(2)
+                c2x, c2y, c2z = Tr(3), Tr(4), Tr(5)
+                c3x, c3y, c3z = Tr(6), Tr(7), Tr(8)
+                kt = Tr(9)
+                det = dx * c1x + dy * c1y + dz * c1z
+                okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+                u_det = dx * c2x + dy * c2y + dz * c2z
+                v_det = dx * c3x + dy * c3y + dz * c3z
+                tk = kt * inv
+                # u ≥ 0 ⇔ u_det·det ≥ 0 etc. (det ≠ 0 via okd);
+                # u + v ≤ 1 ⇔ (u_det + v_det)·det ≤ det²
+                ok = (okd * (u_det * det >= 0.0).astype(jnp.float32)
+                      * (v_det * det >= 0.0).astype(jnp.float32)
+                      * ((u_det + v_det) * det <= det * det
+                         ).astype(jnp.float32)
+                      * (tk > 1e-4).astype(jnp.float32))
+                # geometric normal e1 × e2 = −c1; the post-pass flips the
+                # normal against the ray, so the sign is immaterial
+                gnx, gny, gnz = c1x, c1y, c1z
+            else:
+                ax, ay, az = Tr(0), Tr(1), Tr(2)
+                e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
+                e2x, e2y, e2z = Tr(6) - ax, Tr(7) - ay, Tr(8) - az
+                # pvec = d × e2 (e2 scalar)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+                okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+                tx, ty, tz = ox - ax, oy - ay, oz - az
+                u = (tx * px + ty * py + tz * pz) * inv
+                # qvec = tvec × e1
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv
+                tk = (e2x * qx + e2y * qy + e2z * qz) * inv
+                ok = (okd * (u >= 0.0).astype(jnp.float32)
+                      * (vv >= 0.0).astype(jnp.float32)
+                      * (u + vv <= 1.0).astype(jnp.float32)
+                      * (tk > 1e-4).astype(jnp.float32))
+                # geometric normal e1 × e2 (scalars — whole-tile constants)
+                gnx = e1y * e2z - e1z * e2y
+                gny = e1z * e2x - e1x * e2z
+                gnz = e1x * e2y - e1y * e2x
             tk = jnp.where(ok > 0.5, tk, BIG)
             better = tk < tbest
-            # geometric normal e1 × e2 (scalars — same for the whole tile)
-            gnx = e1y * e2z - e1z * e2y
-            gny = e1z * e2x - e1x * e2z
-            gnz = e1x * e2y - e1y * e2x
             nxb = jnp.where(better, gnx, nxb)
             nyb = jnp.where(better, gny, nyb)
             nzb = jnp.where(better, gnz, nzb)
@@ -443,11 +477,32 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
         lb = jnp.pad(lb, ((0, 0), (0, 0), (0, pad)), constant_values=BIG)
         cap += pad
     n_chunks = cap // chunk
-    tric = tric.reshape(S, tiles, n_chunks, chunk, 9)
     # chunks needed per tile (count skip) + per-chunk hit-t lower bound
     # (occlusion early-out) — scalar-prefetch operands
     nch = jnp.maximum((counts + chunk - 1) // chunk, 1).astype(jnp.int32)
-    lbc = lb.reshape(S, tiles, n_chunks, chunk).min(-1)
+    # scalar-prefetch SMEM arrays pad their MINOR dim to the 128-lane tile —
+    # keep the large axis minor or a (S, tiles, 4ish) array costs ~0.5 MB of
+    # the 1 MB SMEM (observed OOM)
+    lbc = lb.reshape(S, tiles, n_chunks, chunk).min(-1).reshape(
+        S, tiles * n_chunks)
+    # camera tiles (img_w given) have ONE ray origin per tile — the kernel
+    # then runs the shared-origin linear form on per-triangle coefficients
+    # computed HERE (scalar crosses in-kernel were measured scalar-core-
+    # bound; see _tri_kernel)
+    shared_origin = img_w is not None
+    if shared_origin:
+        a = tric[..., 0:3]
+        e1 = tric[..., 3:6] - a
+        e2 = tric[..., 6:9] - a
+        o_t = sg(origins_c).reshape(3, S, tiles, TILE)[..., 0]
+        tv = o_t.transpose(1, 2, 0)[:, :, None] - a  # (S, tiles, cap, 3)
+        c1 = jnp.cross(e2, e1)
+        c2 = jnp.cross(e2, tv)
+        c3 = jnp.cross(tv, e1)
+        kt = jnp.sum(e2 * c3, -1, keepdims=True)
+        tric = jnp.concatenate([c1, c2, c3, kt], -1)  # (S, tiles, cap, 10)
+    width = tric.shape[-1]
+    tric = tric.reshape(S, tiles, n_chunks, chunk, width)
 
     def comp(x, c):
         return x[c].reshape(S, tiles, ROWS, LANES)
@@ -463,7 +518,7 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     # step costs no DMA (measured ~0.8 µs/step with the naive index map —
     # that was ~2.5 ms of a 5.3 ms small-scene frame)
     tri_spec = pl.BlockSpec(
-        (1, 1, 1, chunk, 9),
+        (1, 1, 1, chunk, width),
         lambda s, i, c, nch, lbc: (s, i, jnp.minimum(c, nch[s, i] - 1),
                                    0, 0),
         memory_space=pltpu.SMEM)
@@ -471,7 +526,8 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
 
     tric, nch, lbc = jax.lax.optimization_barrier((tric, nch, lbc))
     kernel = functools.partial(_tri_kernel, chunk=chunk,
-                               n_chunks=n_chunks, max_depth=max_depth)
+                               n_chunks=n_chunks, max_depth=max_depth,
+                               shared_origin=shared_origin)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(S, tiles, n_chunks),
