@@ -469,7 +469,11 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
                                         max_depth, cap, img_w=img_w)
     cap = tric.shape[2]  # effective: cluster path rounds to whole clusters
     counts = jnp.minimum(counts, cap)
-    chunk = min(cap, TRI_UNROLL)
+    # large caps prefer bigger chunks (fewer ~0.8 µs grid steps); small caps
+    # prefer the finer count-skip granularity. Swept on v5e with the
+    # linear-form body: cap 256 → 64 (55.9k vs 49.4k env steps/s at 128);
+    # cap 4096 → 128 (38.8 vs 46.8 ms at 64)
+    chunk = min(cap, TRI_UNROLL if cap <= 1024 else 2 * TRI_UNROLL)
     if cap % chunk:
         # whole chunks only — pad with degenerate (never-hitting) rows
         pad = chunk - cap % chunk
