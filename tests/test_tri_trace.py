@@ -300,3 +300,32 @@ def test_mesh_backends_render_dynamic_objects():
         assert abs(float(d[cy, cx]) - 2.6) < 0.25, extra
         # corner rays still reach past the sphere (wall or background)
         assert float(d[0, 0]) > 3.0, extra
+
+
+def test_shared_soup_path_matches_xla(interpret_pallas, monkeypatch):
+    """Huge-mesh shared-soup path (`_tri_trace_pallas_soup`): per-tile
+    cluster-ID lists index the kernel's triangle DMA straight out of the
+    shared soup. Forced on by lowering the threshold; with cap covering
+    every cluster the image must equal brute force."""
+    import visfly_tpu.render.tri_trace as tt
+
+    verts, faces = [], []
+    for i in range(8):
+        for j in range(8):
+            for k in range(3):
+                v, f = cube_mesh((i * 2.0, j * 2.0 - 8.0, k * 2.0), 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+    v = np.concatenate(verts)
+    f = np.concatenate(faces)
+    packed = pack_triangles(v, f)
+    monkeypatch.setattr(tt, "SHARED_SOUP_MIN_T", packed.shape[0] - 1)
+
+    tris = jnp.asarray(packed[None])
+    o, d = rays(TILE, seed=13, origin=(-4.0, 0.0, 1.0))
+    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
+    o_c = jnp.transpose(o, (2, 0, 1))
+    d_c = jnp.transpose(d, (2, 0, 1))
+    t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
+    np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)

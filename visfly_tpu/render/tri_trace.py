@@ -59,6 +59,12 @@ CLUSTER = 64  # triangles per cull cluster (the two-level path for large
 # a few thousand triangles, while cluster bounds keep it at O(tiles·T/64)
 CLUSTER_CULL_MIN_T = 2048
 
+# meshes above this size skip per-tile compaction entirely: the compacted
+# buffer costs tiles × cap × 36 B (≈1 GB at 100k triangles); instead the
+# kernel DMAs cluster blocks straight from the shared soup via scalar-
+# prefetched per-tile cluster-ID lists (`_tri_trace_pallas_soup`)
+SHARED_SOUP_MIN_T = 16384
+
 
 def default_tri_cap(n_tris: int) -> int:
     """Mesh-size-scaled default for the per-tile compaction ``cap``.
@@ -244,15 +250,12 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     return out, active.sum(-1).astype(jnp.int32), lb
 
 
-def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
-                          max_depth: float, cap: int, lo: Array, hi: Array,
-                          img_w: Optional[int]):
-    """Two-level cull for large meshes: ``pack_triangles`` Morton-sorted the
-    rows, so consecutive ``CLUSTER``-triangle groups are spatially tight.
-    Cull/sort/compact whole clusters (64× smaller sort and one-hot matmul
-    than per-triangle) and hand the kernel ``cap//CLUSTER`` nearest visible
-    clusters; counts are cluster-granular, which the chunk-skip consumes
-    exactly (CLUSTER == one 64-row kernel chunk)."""
+def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
+                      max_depth: float, lo: Array, hi: Array,
+                      img_w: Optional[int]):
+    """Cluster-level visibility shared by both large-mesh prepasses:
+    (active (S, tiles, C), apex-distance (S, tiles, C), per-cluster hit-t
+    lower bound lb_all (S, tiles, C) — BIG where inactive)."""
     S, T = tris.shape[0], tris.shape[1]
     C = T // CLUSTER
     n_tiles = lo.shape[1]
@@ -291,11 +294,37 @@ def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
         vis = jnp.all(d_cen + r_eff >= 0.0, axis=2)  # (S, tiles, C)
         active = active & vis
 
-    cap_c = max(1, min(cap, T) // CLUSTER)
     o4 = origins_c.reshape(3, S, n_tiles, TILE)
     apex_t = o4.mean(-1).transpose(1, 2, 0)
     cen = (clo + chi) * 0.5
     dist = jnp.linalg.norm(cen[:, None] - apex_t[:, :, None], axis=-1)
+    # conservative hit-t lower bound per cluster (centroid distance −
+    # cluster half-diagonal − tile origin spread) for the occlusion
+    # early-out
+    hd = jnp.linalg.norm((chi - clo) * 0.5, axis=-1)  # (S, C)
+    spread = 0.5 * jnp.linalg.norm(
+        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
+    lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
+    lb_all = jnp.where(active, lb_all, BIG)
+    return active, dist, lb_all
+
+
+def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
+                          max_depth: float, cap: int, lo: Array, hi: Array,
+                          img_w: Optional[int]):
+    """Two-level cull for large meshes: ``pack_triangles`` Morton-sorted the
+    rows, so consecutive ``CLUSTER``-triangle groups are spatially tight.
+    Cull/sort/compact whole clusters (64× smaller sort and one-hot matmul
+    than per-triangle) and hand the kernel ``cap//CLUSTER`` nearest visible
+    clusters; counts are cluster-granular, which the chunk-skip consumes
+    exactly (CLUSTER == one 64-row kernel chunk)."""
+    S, T = tris.shape[0], tris.shape[1]
+    C = T // CLUSTER
+    n_tiles = lo.shape[1]
+    active, dist, lb_all = _cluster_activity(
+        tris, origins_c, dirs_c, max_depth, lo, hi, img_w)
+
+    cap_c = max(1, min(cap, T) // CLUSTER)
     key = jnp.where(active, dist, jnp.inf)
     order = jnp.argsort(key, axis=-1, stable=True)
     onehot = (order[:, :, :cap_c, None] == jnp.arange(C)).astype(tris.dtype)
@@ -305,19 +334,43 @@ def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                      precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(S, n_tiles, cap_c * CLUSTER, 9)
     counts = (active.sum(-1) * CLUSTER).astype(jnp.int32)
-    # conservative hit-t lower bound per kept cluster (centroid distance −
-    # cluster half-diagonal − tile origin spread) for the occlusion
-    # early-out; expand to per-slot so both cull paths share one contract
-    hd = jnp.linalg.norm((chi - clo) * 0.5, axis=-1)  # (S, C)
-    spread = 0.5 * jnp.linalg.norm(
-        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
-    lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
-    lb_all = jnp.where(active, lb_all, BIG)
     lb_c = jnp.einsum("stik,stk->sti", onehot, lb_all,
                       preferred_element_type=lb_all.dtype,
                       precision=jax.lax.Precision.HIGHEST)
     lb = jnp.repeat(lb_c, CLUSTER, axis=-1)
     return out, counts, lb
+
+
+def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
+                         max_depth: float, cap: int,
+                         img_w: Optional[int]):
+    """Huge-mesh prepass: per-tile CLUSTER-ID lists instead of a compacted
+    triangle buffer. The kernel's triangle block then DMAs straight out of
+    the shared (S, C, CLUSTER, 9) soup via a scalar-prefetched index map —
+    memory stays O(T) where per-tile compaction would need
+    tiles × cap × 36 B (≈1 GB at 100k triangles).
+
+    Returns (cids (S, tiles, cap_c) int32, counts, lb_c (S, tiles, cap_c))."""
+    S, T = tris.shape[0], tris.shape[1]
+    R = origins_c.shape[2]
+    o = origins_c.reshape(3, S, R // TILE, TILE)
+    d = dirs_c.reshape(3, S, R // TILE, TILE)
+    lo = (o.min(-1) + max_depth * jnp.minimum(d.min(-1), 0.0)).transpose(
+        1, 2, 0)
+    hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0)).transpose(
+        1, 2, 0)
+    active, dist, lb_all = _cluster_activity(
+        tris, origins_c, dirs_c, max_depth, lo, hi, img_w)
+    cap_c = max(1, min(cap, T) // CLUSTER)
+    key = jnp.where(active, dist, jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    cids = order[:, :, :cap_c].astype(jnp.int32)
+    counts = active.sum(-1).astype(jnp.int32)
+    # gather, not one-hot: a (tiles, cap_c, C) one-hot costs ~2 GB at 92k
+    # triangles; the (tiles, cap_c) gather output is tiny and this prepass
+    # runs once per frame batch over cluster-granular arrays
+    lb_c = jnp.take_along_axis(lb_all, cids, axis=-1)
+    return cids, counts, lb_c
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +517,9 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
         raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
     tiles = R // TILE
     cap = min(cap, tris.shape[1])
+    if tris.shape[1] > SHARED_SOUP_MIN_T and tris.shape[1] % CLUSTER == 0:
+        return _tri_trace_pallas_soup(tris, origins_c, dirs_c, max_depth,
+                                      cap, img_w)
     sg = jax.lax.stop_gradient
     tric, counts, lb = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
                                         max_depth, cap, img_w=img_w)
@@ -549,6 +605,99 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     )(nch, lbc, tric, comp(origins_c, 0), comp(origins_c, 1),
       comp(origins_c, 2), comp(dirs_c, 0), comp(dirs_c, 1),
       comp(dirs_c, 2))
+
+    t = t.reshape(S, R)
+    hit = hit.reshape(S, R) > 0.5
+    n = jnp.stack([nx.reshape(S, R), ny.reshape(S, R), nz.reshape(S, R)],
+                  axis=-1)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    d_pm = jnp.transpose(dirs_c, (1, 2, 0))
+    n = jnp.where(jnp.sum(n * d_pm, -1, keepdims=True) > 0, -n, n)
+    return t, hit, n
+
+
+def _tri_kernel_soup(nch_ref, lb_ref, cid_ref, tri_ref, *rest,
+                     **static_kw):
+    """Shared-soup wrapper: cid_ref is consumed by the index maps only."""
+    return _tri_kernel(nch_ref, lb_ref, tri_ref, *rest, **static_kw)
+
+
+def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
+                           max_depth: float, cap: int,
+                           img_w: Optional[int]
+                           ) -> Tuple[Array, Array, Array]:
+    """Huge-mesh path (T > ``SHARED_SOUP_MIN_T``): the kernel's triangle
+    block is indexed by a scalar-prefetched per-tile cluster-ID list, so
+    triangles are DMA'd straight from the shared Morton-ordered soup — no
+    per-tile compacted buffer (memory O(T), not O(tiles × cap)). Same
+    count-skip and occlusion early-out contracts as the compacted path;
+    the body is classic per-ray Möller–Trumbore (per-tile coefficient
+    payloads would need a per-tile buffer again)."""
+    _, S, R = origins_c.shape
+    T = tris.shape[1]
+    tiles = R // TILE
+    sg = jax.lax.stop_gradient
+    cids, counts, lb_c = _cluster_ids_prepass(
+        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w)
+    n_chunks = cids.shape[2]
+    nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
+    soup = tris.reshape(S, T // CLUSTER, 1, CLUSTER, 9)
+
+    # the per-(tile, chunk) prefetch arrays live whole in SMEM (1 MB): at
+    # cap_c 257 × 1024 tiles, cids + lbc are 1.05 MB EACH. Split the call
+    # into equal tile groups — identical shapes, so ONE compiled kernel is
+    # reused — keeping each group's arrays ≤ ~256 KB
+    groups = 1
+    while (tiles // groups) * n_chunks * 4 > 256 * 1024 and groups < tiles:
+        groups += 1
+        while tiles % groups:
+            groups += 1
+    gt = tiles // groups
+
+    def comp(x, c):
+        return x[c].reshape(S, tiles, ROWS, LANES)
+
+    ray_spec = pl.BlockSpec((1, 1, ROWS, LANES),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(
+        (1, 1, 1, CLUSTER, 9),
+        lambda s, i, c, nch, lbc, cid: (
+            s,
+            cid[s, i * n_chunks + jnp.minimum(c, nch[s, i] - 1)],
+            0, 0, 0),
+        memory_space=pltpu.SMEM)
+    out_sds = jax.ShapeDtypeStruct((S, gt, ROWS, LANES), jnp.float32)
+
+    soup, nch, lb_c, cids = jax.lax.optimization_barrier(
+        (soup, nch, lb_c, cids))
+    kernel = functools.partial(_tri_kernel_soup, chunk=CLUSTER,
+                               n_chunks=n_chunks, max_depth=max_depth,
+                               shared_origin=False)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, gt, n_chunks),
+        in_specs=[
+            tri_spec,
+            ray_spec, ray_spec, ray_spec,
+            ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec] * 5,
+    )
+    call = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=[out_sds] * 5)
+    parts = []
+    for g in range(groups):
+        tl = slice(g * gt, (g + 1) * gt)
+        # large axis minor: SMEM pads the minor dim to the 128-lane tile
+        parts.append(call(
+            nch[:, tl], lb_c[:, tl].reshape(S, gt * n_chunks),
+            cids[:, tl].reshape(S, gt * n_chunks), soup,
+            comp(origins_c, 0)[:, tl], comp(origins_c, 1)[:, tl],
+            comp(origins_c, 2)[:, tl], comp(dirs_c, 0)[:, tl],
+            comp(dirs_c, 1)[:, tl], comp(dirs_c, 2)[:, tl]))
+    t, hit, nx, ny, nz = (jnp.concatenate(x, axis=1)
+                          for x in zip(*parts))
 
     t = t.reshape(S, R)
     hit = hit.reshape(S, R) > 0.5
