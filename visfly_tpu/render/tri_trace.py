@@ -16,12 +16,25 @@ Backends:
 * ``tri_trace_pallas`` — per-tile frustum cull + compaction + fused kernel
   (TPU hot path; rays per scene must be a multiple of 1024). The kernel
   skips whole triangle-chunks past the tile's visible-triangle count
-  (compaction sorts actives first), so per-tile cost tracks the culled
-  count, not ``cap``. A Baldwin–Weber precomputed-transform kernel
-  (~0.6× the vector ops) was measured SLOWER than Möller–Trumbore here
-  (7.9 vs 5.7 ms/frame-batch on v5e): its hit algebra is one long serial
-  dependency chain, while MT's three cross/dot chains pipeline on the
-  VPU — op count lost to ILP, so MT stays.
+  (compaction sorts actives first) and distance-sorted chunks carry
+  conservative hit-t lower bounds for a whole-tile occlusion early-out,
+  so per-tile cost tracks the TRUE workload, not ``cap``.
+
+Mesh-size tiers (all through ``tri_trace_pallas``, chosen statically):
+* ``T ≤ 2048`` — per-TRIANGLE cull/compaction; camera tiles use the
+  shared-origin LINEAR form (per-triangle coefficient payload
+  ``[e2×e1 | e2×tvec | tvec×e1 | t·det]`` — ~half the per-ray flops).
+* ``2048 < T ≤ 16384`` — Morton-sorted 64-triangle CLUSTER cull (the
+  per-triangle prepass is O(tiles·T) and stops scaling), same payload.
+* ``T > 16384`` — shared-soup: per-tile cluster-ID lists (scalar
+  prefetch) index the kernel's triangle DMA straight out of the shared
+  soup — memory O(T), not O(tiles × cap); 92k-triangle meshes render
+  exactly on one v5e.
+
+A Baldwin–Weber precomputed-transform kernel (~0.6× the vector ops) was
+measured SLOWER than Möller–Trumbore here (7.9 vs 5.7 ms/frame-batch on
+v5e): its hit algebra is one long serial dependency chain, while MT's
+three cross/dot chains pipeline on the VPU — op count lost to ILP.
 
 Overflow contract: a tile whose visible-triangle count exceeds the static
 ``cap`` keeps its ``cap`` NEAREST visible triangles (distance-priority
