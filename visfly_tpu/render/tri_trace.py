@@ -265,14 +265,14 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
 
 def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
                       max_depth: float, lo: Array, hi: Array,
-                      img_w: Optional[int]):
+                      img_w: Optional[int], cluster: int = CLUSTER):
     """Cluster-level visibility shared by both large-mesh prepasses:
     (active (S, tiles, C), apex-distance (S, tiles, C), per-cluster hit-t
     lower bound lb_all (S, tiles, C) — BIG where inactive)."""
     S, T = tris.shape[0], tris.shape[1]
-    C = T // CLUSTER
+    C = T // cluster
     n_tiles = lo.shape[1]
-    v = tris.reshape(S, C, CLUSTER, 3, 3)
+    v = tris.reshape(S, C, cluster, 3, 3)
     clo = v.min((2, 3))  # (S, C, 3) cluster AABBs
     chi = v.max((2, 3))
     # padding clusters are all-zero rows; a real cluster containing the
@@ -372,9 +372,16 @@ def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
         1, 2, 0)
     hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0)).transpose(
         1, 2, 0)
+    # PAIR consecutive Morton clusters into 128-row blocks for the largest
+    # meshes: the ~0.7 µs/grid-step overhead halves and Morton adjacency
+    # keeps pairs spatially tight. Below ~50k triangles the coarser cull
+    # costs more than the step saving (measured: 23k tris 89→96 ms, 92k
+    # tris 264→240 ms)
+    cluster = (2 * CLUSTER if T >= 49152 and T % (2 * CLUSTER) == 0
+               else CLUSTER)
     active, dist, lb_all = _cluster_activity(
-        tris, origins_c, dirs_c, max_depth, lo, hi, img_w)
-    cap_c = max(1, min(cap, T) // CLUSTER)
+        tris, origins_c, dirs_c, max_depth, lo, hi, img_w, cluster=cluster)
+    cap_c = max(1, min(cap, T) // cluster)
     key = jnp.where(active, dist, jnp.inf)
     order = jnp.argsort(key, axis=-1, stable=True)
     cids = order[:, :, :cap_c].astype(jnp.int32)
@@ -383,7 +390,7 @@ def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
     # triangles; the (tiles, cap_c) gather output is tiny and this prepass
     # runs once per frame batch over cluster-granular arrays
     lb_c = jnp.take_along_axis(lb_all, cids, axis=-1)
-    return cids, counts, lb_c
+    return cids, counts, lb_c, cluster
 
 
 # ---------------------------------------------------------------------------
@@ -650,11 +657,11 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
     T = tris.shape[1]
     tiles = R // TILE
     sg = jax.lax.stop_gradient
-    cids, counts, lb_c = _cluster_ids_prepass(
+    cids, counts, lb_c, cluster = _cluster_ids_prepass(
         tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w)
     n_chunks = cids.shape[2]
     nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
-    soup = tris.reshape(S, T // CLUSTER, 1, CLUSTER, 9)
+    soup = tris.reshape(S, T // cluster, 1, cluster, 9)
 
     # the per-(tile, chunk) prefetch arrays live whole in SMEM (1 MB): at
     # cap_c 257 × 1024 tiles, cids + lbc are 1.05 MB EACH. Split the call
@@ -674,7 +681,7 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
                             lambda s, i, c, nch, lbc, cid: (s, i, 0, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(
-        (1, 1, 1, CLUSTER, 9),
+        (1, 1, 1, cluster, 9),
         lambda s, i, c, nch, lbc, cid: (
             s,
             cid[s, i * n_chunks + jnp.minimum(c, nch[s, i] - 1)],
@@ -684,7 +691,7 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
 
     soup, nch, lb_c, cids = jax.lax.optimization_barrier(
         (soup, nch, lb_c, cids))
-    kernel = functools.partial(_tri_kernel_soup, chunk=CLUSTER,
+    kernel = functools.partial(_tri_kernel_soup, chunk=cluster,
                                n_chunks=n_chunks, max_depth=max_depth,
                                shared_origin=False)
     grid_spec = pltpu.PrefetchScalarGridSpec(
