@@ -385,12 +385,17 @@ def _object_sphere_hits(objects, o, d, max_depth):
     self-exclusion rule as `prepare_kernel_scene`'s dynamic capsules).
     Returns (t (S, R) — BIG where no hit, hit (S, R), normal (S, R, 3))."""
     obj_pos, obj_radius = objects
-    M = obj_pos.shape[1]
-    t = jnp.full(o.shape[:2], BIG, o.dtype)
-    n = jnp.zeros_like(o)
-    for m in range(M):  # M is static and small (objects per scene)
-        c = obj_pos[:, m][:, None]  # (S, 1, 3)
-        r = obj_radius[:, m][:, None]  # (S, 1)
+    t0 = jnp.full(o.shape[:2], BIG, o.dtype)
+    n0 = jnp.zeros_like(o)
+
+    # scan over objects: O(R) memory and one traced body (a Python unroll
+    # emits M copies — at swarm scale, hundreds — bloating compile; a fully
+    # batched (S, M, R) form costs M× the ray arrays in HBM)
+    def body(carry, obj):
+        t, n = carry
+        c, r = obj  # (S, 3), (S,)
+        c = c[:, None]
+        r = r[:, None]
         e = c - o
         b = jnp.sum(e * d, -1)
         ee = jnp.sum(e * e, -1)
@@ -403,7 +408,11 @@ def _object_sphere_hits(objects, o, d, max_depth):
         p = o + d * tm[..., None]
         nm = (p - c) / jnp.maximum(r[..., None], 1e-9)
         n = jnp.where(better[..., None], nm, n)
-        t = jnp.minimum(t, tm)
+        return (jnp.minimum(t, tm), n), None
+
+    (t, n), _ = jax.lax.scan(
+        body, (t0, n0),
+        (obj_pos.transpose(1, 0, 2), obj_radius.transpose(1, 0)))
     return t, t < max_depth, n
 
 

@@ -182,6 +182,38 @@ def tri_trace_xla(tris: Array, origins: Array, dirs: Array,
 # ---------------------------------------------------------------------------
 
 
+def _apex_spread(origins_c: Array, S: int, n_tiles: int):
+    """Per-tile mean ray origin (apex, (S, tiles, 3)) and the EXACT maximum
+    origin distance from it (spread, (S, tiles)) — the sound radius for the
+    occlusion lower bound (a half-AABB-diagonal under-bounds asymmetric
+    multi-origin tiles: an origin can sit the full diagonal from the mean,
+    letting the early-out skip a chunk that still owns the closest hit)."""
+    o4 = origins_c.reshape(3, S, n_tiles, TILE)
+    apex = o4.mean(-1)  # (3, S, tiles)
+    spread = jnp.sqrt(
+        jnp.sum((o4 - apex[..., None]) ** 2, axis=0).max(-1))
+    return apex.transpose(1, 2, 0), spread
+
+
+def _tile_planes(origins_c: Array, dirs_c: Array, S: int, n_tiles: int,
+                 img_w: int):
+    """Exact 4-plane camera wedge per tile (planes (S, tiles, 4, 3), apex
+    (S, tiles, 3)) — valid when a tile is one camera's contiguous row
+    block."""
+    dt4 = dirs_c.reshape(3, S, n_tiles, TILE)
+    corners = jnp.stack([
+        dt4[..., 0], dt4[..., img_w - 1],
+        dt4[..., TILE - 1], dt4[..., TILE - img_w],
+    ], axis=-1).transpose(1, 2, 3, 0)  # (S, tiles, 4, 3)
+    nxt = jnp.roll(corners, -1, axis=2)
+    planes = jnp.cross(corners, nxt)
+    centre = corners.sum(axis=2, keepdims=True)
+    sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
+    planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
+    apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(1, 2, 0)
+    return planes, apex
+
+
 def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                      max_depth: float, cap: int,
                      img_w: Optional[int] = None):
@@ -210,17 +242,7 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     active = active & nonzero[:, None]
 
     if img_w is not None and TILE % img_w == 0:
-        dt4 = dirs_c.reshape(3, S, n_tiles, TILE)
-        corners = jnp.stack([
-            dt4[..., 0], dt4[..., img_w - 1],
-            dt4[..., TILE - 1], dt4[..., TILE - img_w],
-        ], axis=-1).transpose(1, 2, 3, 0)  # (S, tiles, 4, 3)
-        nxt = jnp.roll(corners, -1, axis=2)
-        planes = jnp.cross(corners, nxt)
-        centre = corners.sum(axis=2, keepdims=True)
-        sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
-        planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
-        apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(1, 2, 0)
+        planes, apex = _tile_planes(origins_c, dirs_c, S, n_tiles, img_w)
         # a triangle is visible unless ALL 3 verts are outside one plane
         rel = v[:, None] - apex[:, :, None, None]  # (S, tiles, T, 3verts, 3)
         dv = jnp.einsum(
@@ -235,8 +257,7 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     # triangles — mostly occluded — instead of arbitrary index-order tails
     # (measured on a 5.7k-tri mesh at cap 256: 51% of tiles overflow and
     # index-order tails give 1.4% wrong hits with up to 15 m depth error).
-    o4 = origins_c.reshape(3, S, n_tiles, TILE)
-    apex = o4.mean(-1).transpose(1, 2, 0)
+    apex, spread = _apex_spread(origins_c, S, n_tiles)
     centroid = v.mean(2)  # (S, T, 3)
     dist = jnp.linalg.norm(centroid[:, None] - apex[:, :, None], axis=-1)
     key = jnp.where(active, dist, jnp.inf)  # (S, tiles, T)
@@ -247,11 +268,9 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                      precision=jax.lax.Precision.HIGHEST)
     # per-slot conservative lower bound on any hit t from that triangle
     # (|d| = 1 ⇒ hit t ≥ euclidean distance): centroid distance minus the
-    # triangle circumradius minus the tile's origin-spread radius — feeds
-    # the kernel's whole-tile occlusion early-out
+    # triangle circumradius minus the tile's EXACT max origin-from-apex
+    # radius — feeds the kernel's whole-tile occlusion early-out
     rad = jnp.linalg.norm(v - centroid[:, :, None], axis=-1).max(-1)
-    spread = 0.5 * jnp.linalg.norm(
-        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
     lb_all = jnp.maximum(
         dist - rad[:, None] - spread[..., None], 0.0)
     lb_all = jnp.where(active, lb_all, BIG)
@@ -283,18 +302,7 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
     active = active & nonzero[:, None]
 
     if img_w is not None and TILE % img_w == 0:
-        dt4 = dirs_c.reshape(3, S, n_tiles, TILE)
-        corners = jnp.stack([
-            dt4[..., 0], dt4[..., img_w - 1],
-            dt4[..., TILE - 1], dt4[..., TILE - img_w],
-        ], axis=-1).transpose(1, 2, 3, 0)  # (S, tiles, 4, 3)
-        nxt = jnp.roll(corners, -1, axis=2)
-        planes = jnp.cross(corners, nxt)
-        centre = corners.sum(axis=2, keepdims=True)
-        sign_fix = jnp.sign(jnp.sum(planes * centre, -1, keepdims=True))
-        planes = planes * jnp.where(sign_fix == 0, 1.0, sign_fix)
-        apex = origins_c.reshape(3, S, n_tiles, TILE)[..., 0].transpose(
-            1, 2, 0)
+        planes, apex = _tile_planes(origins_c, dirs_c, S, n_tiles, img_w)
         # conservative AABB-vs-wedge: centre distance + Σ|n|·half ≥ 0
         ccen = (clo + chi) * 0.5
         half = (chi - clo) * 0.5
@@ -307,16 +315,12 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
         vis = jnp.all(d_cen + r_eff >= 0.0, axis=2)  # (S, tiles, C)
         active = active & vis
 
-    o4 = origins_c.reshape(3, S, n_tiles, TILE)
-    apex_t = o4.mean(-1).transpose(1, 2, 0)
+    apex_t, spread = _apex_spread(origins_c, S, n_tiles)
     cen = (clo + chi) * 0.5
     dist = jnp.linalg.norm(cen[:, None] - apex_t[:, :, None], axis=-1)
-    # conservative hit-t lower bound per cluster (centroid distance −
-    # cluster half-diagonal − tile origin spread) for the occlusion
-    # early-out
+    # conservative hit-t lower bound per cluster: centroid distance −
+    # cluster half-diagonal − the tile's EXACT max origin-from-apex radius
     hd = jnp.linalg.norm((chi - clo) * 0.5, axis=-1)  # (S, C)
-    spread = 0.5 * jnp.linalg.norm(
-        (o4.max(-1) - o4.min(-1)).transpose(1, 2, 0), axis=-1)
     lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
     lb_all = jnp.where(active, lb_all, BIG)
     return active, dist, lb_all
@@ -668,7 +672,7 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
     # into equal tile groups — identical shapes, so ONE compiled kernel is
     # reused — keeping each group's arrays ≤ ~256 KB
     groups = 1
-    while (tiles // groups) * n_chunks * 4 > 256 * 1024 and groups < tiles:
+    while S * (tiles // groups) * n_chunks * 4 > 256 * 1024 and groups < tiles:
         groups += 1
         while tiles % groups:
             groups += 1

@@ -239,7 +239,9 @@ def _obj_base_color(path: str):
                 elif line.startswith("Kd ") and name is not None:
                     mtl_kd[name] = np.asarray(
                         [float(x) for x in line.split()[1:4]])
-    pairs = [(counts.get(n, 1), kd) for n, kd in mtl_kd.items()]
+    # only materials actually referenced by faces count (a shared library
+    # may define dozens of unused materials)
+    pairs = [(counts[n], kd) for n, kd in mtl_kd.items() if counts.get(n)]
     if not pairs:
         return None
     w = np.asarray([p[0] for p in pairs], float)
