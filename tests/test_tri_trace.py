@@ -329,3 +329,39 @@ def test_shared_soup_path_matches_xla(interpret_pallas, monkeypatch):
     t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
+
+
+def test_shared_soup_multi_scene(interpret_pallas, monkeypatch):
+    """Multi-scene soup path: per-scene cluster-ID lists, S-aware SMEM
+    group sizing, zero-padded shorter soups."""
+    import visfly_tpu.render.tri_trace as tt
+
+    def grid_mesh(nx, ny, z):
+        verts, faces = [], []
+        for i in range(nx):
+            for j in range(ny):
+                v, f = cube_mesh((i * 2.0, j * 2.0 - 8.0, z), 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+        return np.concatenate(verts), np.concatenate(faces)
+
+    v1, f1 = grid_mesh(8, 8, 1.0)
+    v2, f2 = grid_mesh(8, 6, 0.5)  # fewer cubes → zero-padded soup
+    p1, p2 = pack_triangles(v1, f1), pack_triangles(v2, f2)
+    T = max(p1.shape[0], p2.shape[0])
+    tris = np.zeros((2, T, 9), np.float32)
+    tris[0, :p1.shape[0]] = p1
+    tris[1, :p2.shape[0]] = p2
+    tris = jnp.asarray(tris)
+    monkeypatch.setattr(tt, "SHARED_SOUP_MIN_T", T - 1)
+
+    o1, d1 = rays(TILE, seed=21, origin=(-4.0, 0.0, 1.0))
+    o2, d2 = rays(TILE, seed=22, origin=(-4.0, 0.0, 0.5))
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
+    t_p, hit_p, _ = tri_trace_pallas(tris, jnp.transpose(o, (2, 0, 1)),
+                                     jnp.transpose(d, (2, 0, 1)),
+                                     cap=T)
+    np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
