@@ -16,6 +16,15 @@ Host-side preparation (``prepare_kernel_scene``) splits each scene's packed
 primitives by family — rounded boxes vs capsules — so the kernel's K-loops
 are static (no per-primitive branching), and dynamic objects append as
 degenerate capsules (a == b) per call.
+
+Rejected (measured, round 3): shared-origin candidate precomputation — the
+tri-kernel's linear-form trick applied here (camera tiles share one origin,
+so rotated origin-rel/cs/Cq/endpoint terms become per-primitive scalars
+appended to the compacted rows). The ISOLATED analytic trace got 12% faster
+(1.333 → 1.169 ms/frame-batch on v5e) but the END-TO-END bench regressed
+3% (211.6k → 204.7k env steps/s, same lane, twice): inside the fused env
+step the extra prepass ops/concats cost more than the kernel saves. The
+technique stays in `tri_trace.py` where per-ray work dominates.
 """
 from __future__ import annotations
 
