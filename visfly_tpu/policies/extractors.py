@@ -300,7 +300,7 @@ class MultiInputExtractor(nn.Module):
             if "backbone" in spec:
                 # torchvision-layout backbones with optional offline
                 # pretrained import (the reference's backbone_alias table,
-                # `extractors.py:501-512`): resnet18/34 →
+                # `extractors.py:501-512`): resnet18/34/50/101 →
                 # policies/torch_backbones.py; mobilenet_s/l +
                 # efficientnet_s/m/l → policies/compact_backbones.py
                 from .compact_backbones import COMPACT_BACKBONES

@@ -7,8 +7,9 @@ environment has no torchvision and no egress — so the capability is closed
 the deployment way:
 
 * :class:`TorchResNet` is a flax re-implementation of torchvision's
-  resnet18/34 BasicBlock graph (7×7/2 stem → maxpool → 4 stages → global
-  average pool). BatchNorm is FOLDED into the adjacent convolution at
+  resnet18/34 BasicBlock and resnet50/101 Bottleneck graphs (7×7/2 stem →
+  maxpool → 4 stages → global average pool). BatchNorm is FOLDED into the
+  adjacent convolution at
   conversion time (inference-frozen statistics — the standard fine-tuning
   setup, and what SB3 policies see in eval mode), so the flax module is
   pure convs+biases: plain trainable params, no batch_stats collection
@@ -30,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-ARCH_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+ARCH_STAGES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+               "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+# torchvision Bottleneck archs (1×1 → 3×3 → 1×1·expansion residual blocks)
+BOTTLENECK_ARCHS = frozenset({"resnet50", "resnet101"})
+BOTTLENECK_EXPANSION = 4
 
 
 class _FoldedBlock(nn.Module):
@@ -59,10 +64,40 @@ class _FoldedBlock(nn.Module):
         return nn.relu(h + residual)
 
 
+class _FoldedBottleneck(nn.Module):
+    """torchvision Bottleneck (ResNet v1.5: stride on the 3×3) with BN
+    folded: conv1×1(c) → relu → conv3×3(c, stride) → relu → conv1×1(4c),
+    plus a strided 1×1 downsample conv on the residual when shape changes."""
+
+    channels: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out_ch = self.channels * BOTTLENECK_EXPANSION
+        residual = x
+        h = nn.Conv(self.channels, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels, (3, 3), strides=(self.strides,) * 2,
+                    padding=[(1, 1), (1, 1)], use_bias=True,
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(out_ch, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv3")(h)
+        if residual.shape[-1] != out_ch or self.strides != 1:
+            residual = nn.Conv(out_ch, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=True,
+                               dtype=self.dtype, name="downsample")(residual)
+        return nn.relu(h + residual)
+
+
 class TorchResNet(nn.Module):
-    """torchvision resnet18/34 feature extractor (fc head dropped); returns
-    the 512-d pooled features. Accepts NCHW or NHWC; 1-channel inputs are
-    tiled to 3 (the reference feeds depth to RGB backbones the same way)."""
+    """torchvision resnet18/34/50/101 feature extractor (fc head dropped);
+    returns the pooled features (512-d BasicBlock / 2048-d Bottleneck).
+    Accepts NCHW or NHWC; 1-channel inputs are tiled to 3 (the reference
+    feeds depth to RGB backbones the same way)."""
 
     arch: str = "resnet18"
     dtype: Any = jnp.float32
@@ -79,13 +114,15 @@ class TorchResNet(nn.Module):
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         stages: Sequence[int] = ARCH_STAGES[self.arch]
+        block = (_FoldedBottleneck if self.arch in BOTTLENECK_ARCHS
+                 else _FoldedBlock)
         for stage, blocks in enumerate(stages):
             ch = 64 * (2 ** stage)
             for b in range(blocks):
                 strides = 2 if (b == 0 and stage > 0) else 1
-                h = _FoldedBlock(ch, strides=strides, dtype=self.dtype,
-                                 name=f"layer{stage + 1}_{b}")(h)
-        return h.mean(axis=(1, 2))  # (N, 512)
+                h = block(ch, strides=strides, dtype=self.dtype,
+                          name=f"layer{stage + 1}_{b}")(h)
+        return h.mean(axis=(1, 2))  # (N, 512) / (N, 2048) bottleneck
 
 
 def _fold_bn(w: np.ndarray, b, bn_gamma, bn_beta, bn_mean, bn_var,
@@ -106,7 +143,7 @@ def _conv_to_flax(w: np.ndarray) -> np.ndarray:
 
 def convert_torch_resnet(state_dict: Dict[str, Any],
                          arch: str = "resnet18") -> Dict[str, Any]:
-    """torchvision ``resnet{18,34}`` state_dict → :class:`TorchResNet`
+    """torchvision ``resnet{18,34,50,101}`` state_dict → :class:`TorchResNet`
     flax params (BN folded). ``state_dict`` values may be torch tensors or
     numpy arrays; the fc head is ignored."""
     sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
@@ -129,6 +166,8 @@ def convert_torch_resnet(state_dict: Dict[str, Any],
                 "conv1": folded(f"{tp}.conv1", f"{tp}.bn1"),
                 "conv2": folded(f"{tp}.conv2", f"{tp}.bn2"),
             }
+            if f"{tp}.conv3.weight" in sd:  # Bottleneck (resnet50/101)
+                blk["conv3"] = folded(f"{tp}.conv3", f"{tp}.bn3")
             if f"{tp}.downsample.0.weight" in sd:
                 blk["downsample"] = folded(f"{tp}.downsample.0",
                                            f"{tp}.downsample.1")
