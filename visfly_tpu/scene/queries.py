@@ -108,18 +108,114 @@ def sdf_normal(data, sid: Array, p: Array, eps: float = None) -> Array:
     return n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
 
 
+def _point_tri_closest(p: Array, tri: Array) -> Array:
+    """Closest point on triangles to query points, branchless.
+
+    p (..., 3) broadcast against tri (..., 9) rows [a | b | c] → (..., 3).
+    Ericson's seven-region cascade (Real-Time Collision Detection §5.1.5)
+    expressed as a reverse-priority ``where`` chain so every lane follows
+    the same instruction stream; denominators of untaken branches are
+    guarded so no NaN leaks into the selected value OR its gradient."""
+    a, b, c = tri[..., 0:3], tri[..., 3:6], tri[..., 6:9]
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    def safe(x):
+        return jnp.where(jnp.abs(x) > 1e-20, x, 1.0)
+
+    r_ab = a + jnp.clip(d1 / safe(d1 - d3), 0.0, 1.0)[..., None] * ab
+    r_ac = a + jnp.clip(d2 / safe(d2 - d6), 0.0, 1.0)[..., None] * ac
+    w_bc = jnp.clip((d4 - d3) / safe((d4 - d3) + (d5 - d6)), 0.0, 1.0)
+    r_bc = b + w_bc[..., None] * (c - b)
+    denom = safe(va + vb + vc)
+    r_in = (a + ab * (vb / denom)[..., None] + ac * (vc / denom)[..., None])
+
+    res = r_in
+    res = jnp.where(((va <= 0) & (d4 - d3 >= 0)
+                     & (d5 - d6 >= 0))[..., None], r_bc, res)
+    res = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                    r_ac, res)
+    res = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c, res)
+    res = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                    r_ab, res)
+    res = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b, res)
+    res = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a, res)
+    return res
+
+
+def tri_closest_point(tris: Array, sid: Array, p: Array,
+                      chunk: int = 4096) -> Tuple[Array, Array]:
+    """EXACT closest surface point over a triangle soup.
+
+    tris (S, T, 9) zero-padded soup × query points p (N, 3) with scene ids
+    sid (N,) → (point (N, 3), signed-free distance (N,)). The reference
+    answers this with CGAL AABB-tree queries on the true mesh
+    (`SceneManager.py:440-445`); here a `lax.scan` over ``chunk``-triangle
+    slabs keeps peak memory at O(N × chunk) while XLA keeps the VPU busy —
+    at framework batch sizes (hundreds of points × tens of thousands of
+    triangles) the brute-force pass is microseconds, far below render cost,
+    so no hierarchy is needed. All-zero padding rows are masked out.
+    Differentiable in ``p`` (piecewise-smooth; the argmin is carried as a
+    running ``where`` select)."""
+    T = tris.shape[1]
+    chunk = min(chunk, T)
+    pad = (-T) % chunk
+    if pad:
+        tris = jnp.pad(tris, ((0, 0), (0, pad), (0, 0)))
+    slabs = tris.shape[1] // chunk
+    # (slabs, S, chunk, 9): scan walks the leading axis
+    soup = jnp.swapaxes(
+        tris.reshape(tris.shape[0], slabs, chunk, 9), 0, 1)
+
+    def body(carry, tri_slab):
+        best_d2, best_pt = carry
+        sel = tri_slab[sid]                      # (N, chunk, 9)
+        valid = jnp.any(sel != 0.0, axis=-1)     # padding mask
+        q = _point_tri_closest(p[:, None, :], sel)
+        d2 = jnp.where(valid, jnp.sum((q - p[:, None, :]) ** 2, -1),
+                       jnp.inf)
+        j = jnp.argmin(d2, axis=-1)
+        d2_min = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+        pt_min = jnp.take_along_axis(q, j[:, None, None], 1)[:, 0]
+        better = d2_min < best_d2
+        return (jnp.where(better, d2_min, best_d2),
+                jnp.where(better[:, None], pt_min, best_pt)), None
+
+    init = (jnp.full(p.shape[:1], jnp.inf, p.dtype), jnp.zeros_like(p))
+    (d2, pt), _ = jax.lax.scan(body, init, soup)
+    return pt, jnp.sqrt(jnp.maximum(d2, 1e-24))
+
+
 def closest_point_query(
     data, sid: Array, p: Array
 ) -> Tuple[Array, Array, Array]:
     """(closest surface point, distance, out_of_bounds) — the replacement
     for the CGAL `get_closest_collision_point` (`SceneManager.py:440-445`).
 
-    point = p − n̂ · sdf(p); distance clamps at 0 inside obstacles."""
+    Mesh scenes that carry their true triangle soup answer EXACTLY via
+    `tri_closest_point` (matching CGAL's mesh-true query); grid-only and
+    primitive scenes use point = p − n̂ · sdf(p), with distance clamped at
+    0 inside obstacles."""
+    lo, hi = data.bbox[0], data.bbox[1]
+    out = jnp.any(p < lo, axis=-1) | jnp.any(p > hi, axis=-1)
+    tris = getattr(data, "triangles", ())
+    if not _is_prim(data) and not isinstance(tris, tuple) and tris.size:
+        point, dis = tri_closest_point(tris, sid, p)
+        inside = sample_sdf(data, sid, p) < 0.0  # sign from the baked grid
+        return point, jnp.where(inside, 0.0, dis), out
     dis = sample_sdf(data, sid, p)
     n = sdf_normal(data, sid, p)
     point = p - n * dis[..., None]
-    lo, hi = data.bbox[0], data.bbox[1]
-    out = jnp.any(p < lo, axis=-1) | jnp.any(p > hi, axis=-1)
     return point, jnp.maximum(dis, 0.0), out
 
 
