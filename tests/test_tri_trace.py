@@ -67,7 +67,7 @@ def test_xla_bruteforce_geometry():
     tris = scene_tris()
     o = jnp.asarray([[[-3.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 5.0, 0.0]]])
     d = jnp.asarray([[[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]])
-    t, hit, n = tri_trace_xla(tris, o, d)
+    t, hit, n, *_ = tri_trace_xla(tris, o, d)
     # ray 1: cube face at x=-1 → t=2; ray 2: second cube at x=3.2 → t=1.2;
     # ray 3: first cube top at y=1 → t=4
     np.testing.assert_allclose(np.asarray(t[0]), [2.0, 1.2, 4.0], atol=1e-5)
@@ -80,10 +80,10 @@ def test_xla_bruteforce_geometry():
 def test_pallas_matches_xla(interpret_pallas):
     tris = scene_tris()
     o, d = rays(TILE, seed=3)
-    t_x, hit_x, n_x = tri_trace_xla(tris, o, d)
+    t_x, hit_x, n_x, *_ = tri_trace_xla(tris, o, d)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_p, hit_p, n_p = tri_trace_pallas(tris, o_c, d_c, cap=32)
+    t_p, hit_p, n_p, *_ = tri_trace_pallas(tris, o_c, d_c, cap=32)
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
     h = np.asarray(hit_x)[0]
@@ -100,9 +100,9 @@ def test_cull_keeps_image_and_culls(interpret_pallas):
     # every visible triangle fits
     stats = cull_stats(tris, o_c, d_c, cap=24)
     assert stats["max"] <= tris.shape[1]
-    t_full, hit_full, _ = tri_trace_pallas(tris, o_c, d_c,
+    t_full, hit_full, _, *_ = tri_trace_pallas(tris, o_c, d_c,
                                            cap=tris.shape[1])
-    t_c, hit_c, _ = tri_trace_pallas(tris, o_c, d_c, cap=24)
+    t_c, hit_c, _, *_ = tri_trace_pallas(tris, o_c, d_c, cap=24)
     np.testing.assert_array_equal(np.asarray(hit_full), np.asarray(hit_c))
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_full),
                                atol=1e-5)
@@ -115,7 +115,7 @@ def test_ift_gradient_matches_fd():
     d_c = jnp.transpose(d, (2, 0, 1))
 
     def mean_depth(oc):
-        t, hit, _ = tri_trace_diff(tris, oc, d_c, 20.0, 32, None, False)
+        t, hit, _, *_ = tri_trace_diff(tris, oc, d_c, 20.0, 32, None, False)
         return jnp.where(hit, t, 0.0).sum()
 
     g = jax.grad(mean_depth)(o_c)
@@ -175,10 +175,10 @@ def test_overflow_keeps_nearest_triangles(interpret_pallas):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_full, hit_full, _ = tri_trace_pallas(tris, o_c, d_c,
+    t_full, hit_full, _, *_ = tri_trace_pallas(tris, o_c, d_c,
                                            cap=tris.shape[1])
     # cap 8 < the 12 visible near-cube faces alone → guaranteed overflow
-    t_c, hit_c, _ = tri_trace_pallas(tris, o_c, d_c, cap=8)
+    t_c, hit_c, _, *_ = tri_trace_pallas(tris, o_c, d_c, cap=8)
     tf = np.asarray(t_full)[0]
     tc = np.asarray(t_c)[0]
     hf = np.asarray(hit_full)[0]
@@ -207,20 +207,20 @@ def test_frustum_cull_camera_tiles(interpret_pallas):
     o_full = jnp.broadcast_to(o_c[:, :, None], (3, 2, 1024)).reshape(3, 1, 2048)
     d_full = d_c.reshape(3, 1, 2048)
 
-    _, counts, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+    _, counts, _, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
                                  img_w=64)
     c = np.asarray(counts)
     assert c.max() <= tris.shape[1]
     # camera 2 at x=6.5 looking -x sees both cubes; camera 1 sees both too,
     # but each frustum drops SOME back-facing/behind geometry relative to
     # the no-frustum AABB cull
-    _, counts_nofr, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
+    _, counts_nofr, _, _ = tri_cull_compact(tris, o_full, d_full, 20.0, cap=8,
                                       img_w=None)
     assert c.sum() <= np.asarray(counts_nofr).sum()
 
-    t_u, hit_u, _ = tri_trace_pallas(tris, o_full, d_full,
+    t_u, hit_u, _, *_ = tri_trace_pallas(tris, o_full, d_full,
                                      cap=tris.shape[1])
-    t_c, hit_c, _ = tri_trace_pallas(tris, o_full, d_full,
+    t_c, hit_c, _, *_ = tri_trace_pallas(tris, o_full, d_full,
                                      cap=tris.shape[1], img_w=64)
     np.testing.assert_array_equal(np.asarray(hit_u), np.asarray(hit_c))
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_u), atol=1e-5)
@@ -252,10 +252,10 @@ def test_cluster_cull_path_matches_xla(interpret_pallas):
 
     tris = jnp.asarray(packed[None])
     o, d = rays(TILE, seed=11, origin=(-4.0, 0.0, 1.0))
-    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
+    t_x, hit_x, _, *_ = tri_trace_xla(tris, o, d)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
+    t_p, hit_p, _, *_ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
 
@@ -323,10 +323,10 @@ def test_shared_soup_path_matches_xla(interpret_pallas, monkeypatch):
 
     tris = jnp.asarray(packed[None])
     o, d = rays(TILE, seed=13, origin=(-4.0, 0.0, 1.0))
-    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
+    t_x, hit_x, _, *_ = tri_trace_xla(tris, o, d)
     o_c = jnp.transpose(o, (2, 0, 1))
     d_c = jnp.transpose(d, (2, 0, 1))
-    t_p, hit_p, _ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
+    t_p, hit_p, _, *_ = tri_trace_pallas(tris, o_c, d_c, cap=tris.shape[1])
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
 
@@ -359,9 +359,124 @@ def test_shared_soup_multi_scene(interpret_pallas, monkeypatch):
     o2, d2 = rays(TILE, seed=22, origin=(-4.0, 0.0, 0.5))
     o = jnp.concatenate([o1, o2])
     d = jnp.concatenate([d1, d2])
-    t_x, hit_x, _ = tri_trace_xla(tris, o, d)
-    t_p, hit_p, _ = tri_trace_pallas(tris, jnp.transpose(o, (2, 0, 1)),
+    t_x, hit_x, _, *_ = tri_trace_xla(tris, o, d)
+    t_p, hit_p, _, *_ = tri_trace_pallas(tris, jnp.transpose(o, (2, 0, 1)),
                                      jnp.transpose(d, (2, 0, 1)),
                                      cap=T)
     np.testing.assert_array_equal(np.asarray(hit_x), np.asarray(hit_p))
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-4)
+
+
+def test_camsoup_path_matches_xla(interpret_pallas, monkeypatch):
+    """Dense-mesh per-camera signed-volume path
+    (`_tri_trace_pallas_camsoup`) + the square pixel-block repack: a real
+    64×64 pinhole camera (whole-camera tiles), threshold lowered to force
+    the tier, cap covering every cluster → must equal brute force."""
+    import visfly_tpu.render.tri_trace as tt
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+
+    verts, faces = [], []
+    for i in range(8):
+        for j in range(8):
+            for k in range(3):
+                v, f = cube_mesh((i * 2.0 + 2.0, j * 2.0 - 8.0, k * 2.0),
+                                 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+    packed = pack_triangles(np.concatenate(verts), np.concatenate(faces))
+    monkeypatch.setattr(tt, "SHARED_SOUP_MIN_T", packed.shape[0] - 1)
+    tris = jnp.asarray(packed[None])
+
+    spec = {"sensor_type": "depth", "resolution": [64, 64]}
+    # jittered off the grid's symmetry axes: a centered camera aims dozens
+    # of rays EXACTLY along shared cube edges, where f32 rounding
+    # legitimately differs between the signed-volume and Möller–Trumbore
+    # forms (verified float64-equal); generic poses have no such rays
+    pos = jnp.asarray([[-2.03, 0.011, 1.017]])
+    q = quat.from_euler(jnp.zeros(1), jnp.asarray([0.013]),
+                        jnp.asarray([0.021]))
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 1, 64 * 64))
+    d_full = d_c.reshape(3, 1, -1)
+
+    t_p, hit_p, n_p, *_ = tri_trace_pallas(tris, o_full, d_full,
+                                       cap=tris.shape[1], img_w=64,
+                                       cam_rays=64 * 64)
+    t_x, hit_x, n_x, *_ = tri_trace_xla(tris, jnp.transpose(o_full, (1, 2, 0)),
+                                    jnp.transpose(d_full, (1, 2, 0)))
+    assert int((np.asarray(hit_p) != np.asarray(hit_x)).sum()) == 0
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-3)
+    both = np.asarray(hit_p) & np.asarray(hit_x)
+    # normals from the gid gather match brute force (up to sign flip
+    # already handled by the against-ray orientation)
+    nd = np.abs(np.asarray(n_p) - np.asarray(n_x)).max(-1)[both]
+    assert nd.max() < 1e-4
+
+
+def test_backface_cull_identical_on_closed_mesh(interpret_pallas,
+                                                monkeypatch):
+    """Backface culling is EXACT on watertight meshes: the image with
+    ``backface=True`` must equal the uncull'd one, on both the compacted
+    tier and the camsoup tier. Verifies the cone bound's conservatism AND
+    the cube winding convention in one shot."""
+    import visfly_tpu.render.tri_trace as tt
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+
+    verts, faces = [], []
+    for i in range(6):
+        for j in range(6):
+            v, f = cube_mesh((i * 2.0 + 2.0, j * 2.0 - 6.0, 1.0), 0.45)
+            faces.append(f + 8 * len(verts))
+            verts.append(v)
+    packed = pack_triangles(np.concatenate(verts), np.concatenate(faces))
+    tris = jnp.asarray(packed[None])
+
+    spec = {"sensor_type": "depth", "resolution": [64, 64]}
+    pos = jnp.asarray([[-1.57, 0.23, 1.11]])
+    q = quat.from_euler(jnp.zeros(1), jnp.asarray([0.04]),
+                        jnp.asarray([-0.03]))
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 1, 64 * 64))
+    d_full = d_c.reshape(3, 1, -1)
+
+    for min_t in (10 ** 9, packed.shape[0] - 1):  # compacted / camsoup
+        monkeypatch.setattr(tt, "SHARED_SOUP_MIN_T", min_t)
+        t0, h0, n0, *_ = tri_trace_pallas(tris, o_full, d_full,
+                                      cap=tris.shape[1], img_w=64,
+                                      cam_rays=64 * 64, backface=False)
+        t1, h1, n1, *_ = tri_trace_pallas(tris, o_full, d_full,
+                                      cap=tris.shape[1], img_w=64,
+                                      cam_rays=64 * 64, backface=True)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                   atol=1e-5)
+
+
+def test_dynamic_objects_are_colored_in_rgb():
+    """Round-4 closure of the dynamic-pixels-shade-to-0 deviation: a
+    dynamic object in front of the camera must contribute NON-ZERO RGB and
+    the reserved semantic id 255 in the mesh (tri) backend."""
+    from visfly_tpu.render.sphere_trace import render_camera
+    from visfly_tpu.scene.mesh import bake_scene_from_arrays
+
+    v, f = cube_mesh((4.0, 0.0, 0.0), 1.0)
+    data = bake_scene_from_arrays(v, f, spacing=0.2, margin=3.0)
+    pos = jnp.asarray([[-2.0, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    # one red sphere at x=0 (between camera and cube)
+    objects = (jnp.asarray([[[0.0, 0.0, 0.0]]]),
+               jnp.asarray([[0.5]]),
+               jnp.asarray([[[200.0, 30.0, 30.0]]]))
+    out = render_camera(data, jnp.zeros(1, jnp.int32), pos, q,
+                        {"sensor_type": "color", "resolution": [32, 32]},
+                        max_depth=10.0, objects=objects)
+    rgb = np.transpose(np.asarray(out["color"])[0], (1, 2, 0))
+    centre = rgb[14:18, 14:18].astype(np.float32).mean((0, 1))
+    assert centre[0] > 40 and centre[0] > 2.5 * max(centre[1], 1.0), \
+        f"object pixels must be red-ish, got {centre}"
+    sem = render_camera(data, jnp.zeros(1, jnp.int32), pos, q,
+                        {"sensor_type": "semantic", "resolution": [32, 32]},
+                        max_depth=10.0, objects=objects)["semantic"]
+    assert int(np.asarray(sem)[0, 0, 16, 16]) == 255

@@ -22,19 +22,42 @@ Backends:
 
 Mesh-size tiers (all through ``tri_trace_pallas``, chosen statically):
 * ``T ≤ 2048`` — per-TRIANGLE cull/compaction; camera tiles use the
-  shared-origin LINEAR form (per-triangle coefficient payload
-  ``[e2×e1 | e2×tvec | tvec×e1 | t·det]`` — ~half the per-ray flops).
+  shared-origin SIGNED-VOLUME form (payload ``[g0 | g1 | g2 | kt]``,
+  gᵢ the per-origin edge volumes — a hit is 9 FMAs + 3 sign products
+  vs classic MT's ~45 vector ops).
 * ``2048 < T ≤ 16384`` — Morton-sorted 64-triangle CLUSTER cull (the
   per-triangle prepass is O(tiles·T) and stops scaling), same payload.
-* ``T > 16384`` — shared-soup: per-tile cluster-ID lists (scalar
-  prefetch) index the kernel's triangle DMA straight out of the shared
-  soup — memory O(T), not O(tiles × cap); 92k-triangle meshes render
-  exactly on one v5e.
+* ``T > 16384`` — two shared-soup variants with per-tile cluster-ID
+  lists (scalar prefetch) indexing the kernel's block DMA straight out
+  of the soup (memory O(T), not O(tiles × cap)): whole-camera ray
+  batches take `_tri_trace_pallas_camsoup` (per-CAMERA signed-volume
+  pages, O(cams × T) payload rebuilt per frame); arbitrary ray sets
+  fall back to `_tri_trace_pallas_soup` (raw triangles, classic MT).
+  92k-triangle meshes render exactly on one v5e.
+
+Camera workloads additionally get square 32×32-pixel tile repacking
+(tighter frusta than row strips) and opt-in ``backface`` cluster
+normal-cone culling — exact on watertight consistently-wound meshes and
+habitat's GL default (`pack_triangles` orders clusters orientation-pure
+so the cone test can fire). All kernels carry the winning triangle id
+and reconstruct normals with one XLA gather (`_normals_from_gid`);
+the id also drives textured RGB (UV + atlas tables, `scene/mesh.py`).
 
 A Baldwin–Weber precomputed-transform kernel (~0.6× the vector ops) was
 measured SLOWER than Möller–Trumbore here (7.9 vs 5.7 ms/frame-batch on
 v5e): its hit algebra is one long serial dependency chain, while MT's
-three cross/dot chains pipeline on the VPU — op count lost to ILP.
+three cross/dot chains pipeline on the VPU — op count lost to ILP. A
+manually double-buffered ``while_loop`` STREAM kernel (dynamic per-tile
+block walk, hand-rolled HBM→SMEM `make_async_copy`, suffix-min exit) was
+also built and measured SLOWER than grid dispatch (123 vs 84 ms at 23k
+tris, 250 vs 226 ms at 92k): Mosaic's BlockSpec pipeline overlaps the
+per-chunk DMA better than manual prefetch, and the `fori_loop` triangle
+walk it forces (a fully unrolled body takes Mosaic >200 s to lower inside
+`while_loop`) loses the unrolled body's ILP. Its per-camera coefficient
+payload survives in `_tri_trace_pallas_camsoup`. A ray-major layout
+(triangles in lanes, per-ray early exit) prices out at 3.7× worse
+throughput per ray-triangle test than tile-lockstep — the per-ray exit
+only recovers ~1.7× of it — and was not built.
 
 Overflow contract: a tile whose visible-triangle count exceeds the static
 ``cap`` keeps its ``cap`` NEAREST visible triangles (distance-priority
@@ -78,6 +101,8 @@ CLUSTER_CULL_MIN_T = 2048
 # prefetched per-tile cluster-ID lists (`_tri_trace_pallas_soup`)
 SHARED_SOUP_MIN_T = 16384
 
+_SOUP_CLUSTER_OVERRIDE = None  # experiment hook: force the soup block size
+
 
 def default_tri_cap(n_tris: int) -> int:
     """Mesh-size-scaled default for the per-tile compaction ``cap``.
@@ -110,24 +135,44 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def pack_triangles(verts: np.ndarray, faces: np.ndarray,
-                   pad_to: int = 8) -> np.ndarray:
+                   pad_to: int = 8, return_order: bool = False):
     """(V, 3) + (F, 3) → (T, 9) rows [a | b | c], zero-padded (degenerate
     rows never intersect: det == 0). Large meshes (> ``CLUSTER_CULL_MIN_T``)
     are sorted by centroid Morton code and padded to whole clusters so the
     two-level cluster cull gets spatially tight ``CLUSTER``-triangle groups
-    (triangle order is free to permute: hits min over all rows, and shading
-    samples the baked grids at the hit point, not per-triangle tables)."""
+    (triangle order is free to permute: hits min over all rows; per-face
+    tables — UVs, materials — follow via ``return_order``, which also
+    returns packed-row → original-face ids, −1 on padding rows)."""
     tris = verts[faces.reshape(-1)].reshape(-1, 9).astype(np.float32)
     t = len(tris)
+    order = np.arange(t)
     if t > CLUSTER_CULL_MIN_T:
         cen = tris.reshape(-1, 3, 3).mean(1)
         lo, hi = cen.min(0), cen.max(0)
         norm = (cen - lo) / np.maximum(hi - lo, 1e-9)
-        tris = tris[np.argsort(_morton3(norm), kind="stable")]
+        # ORIENTATION-AWARE Morton order: a 3-bit facing bucket (dominant
+        # normal axis × sign) slots in below the top 12 spatial bits, so
+        # clusters stay inside a coarse spatial cell but become
+        # orientation-pure — without this, clusters straddling box corners
+        # mix normals and the backface cone cull can't fire (measured on
+        # the 23k garage: mixed clusters left only ~10% cull)
+        v3 = tris.reshape(-1, 3, 3).astype(np.float64)
+        n = np.cross(v3[:, 1] - v3[:, 0], v3[:, 2] - v3[:, 0])
+        axis = np.argmax(np.abs(n), axis=1)
+        sign = np.take_along_axis(n, axis[:, None], 1)[:, 0] < 0
+        bucket = (axis * 2 + sign).astype(np.uint64)  # 6 facings
+        m = _morton3(norm).astype(np.uint64)
+        key = ((m >> 18) << 21) | (bucket << 18) | (m & ((1 << 18) - 1))
+        order = np.argsort(key, kind="stable")
+        tris = tris[order]
         pad_to = max(pad_to, CLUSTER)
     padded = -(-max(t, 1) // pad_to) * pad_to
     out = np.zeros((padded, 9), np.float32)
     out[:t] = tris
+    if return_order:
+        ids = np.full(padded, -1, np.int64)
+        ids[:t] = order
+        return out, ids
     return out
 
 
@@ -172,7 +217,7 @@ def tri_trace_xla(tris: Array, origins: Array, dirs: Array,
         n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
         # orient against the ray so the IFT denominator n·d is negative-side
         n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
-        return jnp.clip(t, 0.0, max_depth), hit, n
+        return jnp.clip(t, 0.0, max_depth), hit, n, k.astype(jnp.int32)
 
     return jax.vmap(per_scene)(tris, origins, dirs)
 
@@ -216,7 +261,8 @@ def _tile_planes(origins_c: Array, dirs_c: Array, S: int, n_tiles: int,
 
 def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                      max_depth: float, cap: int,
-                     img_w: Optional[int] = None):
+                     img_w: Optional[int] = None,
+                     backface: bool = False):
     """(S, T, 9) triangles × (3, S, R) rays → per-tile compacted
     (S, tiles, cap, 9) + counts (S, tiles). AABB interval test, plus exact
     frustum planes when a tile is one camera's contiguous row block."""
@@ -230,7 +276,7 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
 
     if T > CLUSTER_CULL_MIN_T and T % CLUSTER == 0:
         return _cluster_cull_compact(tris, origins_c, dirs_c, max_depth,
-                                     cap, lo, hi, img_w)
+                                     cap, lo, hi, img_w, backface)
 
     v = tris.reshape(S, T, 3, 3)
     tlo = v.min(2)  # (S, T, 3)
@@ -252,6 +298,18 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
         vis = jnp.all(jnp.any(dv >= 0.0, axis=-1), axis=2)  # (S, tiles, T)
         active = active & vis
 
+    if backface:
+        # EXACT per-triangle test (`_cluster_activity` docstring): x on the
+        # triangle's plane has n·x = n·a, so the cluster bound collapses to
+        # max n·(o − a) = n·(apex − a) + |n|·spread — no cone, no AABB slop
+        apex_bf, spread_bf = _apex_spread(origins_c, S, n_tiles)
+        a_t = v[:, :, 0]                                     # (S, T, 3)
+        n_t = jnp.cross(v[:, :, 1] - a_t, v[:, :, 2] - a_t)
+        n_t = n_t / (jnp.linalg.norm(n_t, axis=-1, keepdims=True) + 1e-12)
+        front = (jnp.sum(n_t[:, None] * (apex_bf[:, :, None] - a_t[:, None]),
+                         -1) + spread_bf[..., None]) > 0.0
+        active = active & front
+
     # distance-priority compaction: actives first, NEAREST first. A tile
     # whose visible count exceeds ``cap`` then drops its FARTHEST visible
     # triangles — mostly occluded — instead of arbitrary index-order tails
@@ -262,6 +320,7 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     dist = jnp.linalg.norm(centroid[:, None] - apex[:, :, None], axis=-1)
     key = jnp.where(active, dist, jnp.inf)  # (S, tiles, T)
     order = jnp.argsort(key, axis=-1, stable=True)
+    ids = order[:, :, :cap].astype(jnp.int32)  # slot → global triangle id
     onehot = (order[:, :, :cap, None] == jnp.arange(T)).astype(tris.dtype)
     out = jnp.einsum("stik,skc->stic", onehot, tris,
                      preferred_element_type=tris.dtype,
@@ -279,15 +338,23 @@ def tri_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     lb = jnp.einsum("stik,stk->sti", onehot, lb_all,
                     preferred_element_type=lb_all.dtype,
                     precision=jax.lax.Precision.HIGHEST)
-    return out, active.sum(-1).astype(jnp.int32), lb
+    return out, active.sum(-1).astype(jnp.int32), lb, ids
 
 
 def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
                       max_depth: float, lo: Array, hi: Array,
-                      img_w: Optional[int], cluster: int = CLUSTER):
+                      img_w: Optional[int], cluster: int = CLUSTER,
+                      backface: bool = False):
     """Cluster-level visibility shared by both large-mesh prepasses:
     (active (S, tiles, C), apex-distance (S, tiles, C), per-cluster hit-t
-    lower bound lb_all (S, tiles, C) — BIG where inactive)."""
+    lower bound lb_all (S, tiles, C) — BIG where inactive).
+
+    ``backface=True`` additionally culls clusters whose whole normal cone
+    faces away from every origin in the tile — EXACT for watertight
+    consistently-wound meshes (a backface there is always occluded by a
+    frontface), and the same default the reference's GL rasteriser applies
+    to habitat stages. Subdivided stage sheets are coplanar clusters
+    (Morton packing keeps them together), so the cone test bites hard."""
     S, T = tris.shape[0], tris.shape[1]
     C = T // cluster
     n_tiles = lo.shape[1]
@@ -321,6 +388,28 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
     # conservative hit-t lower bound per cluster: centroid distance −
     # cluster half-diagonal − the tile's EXACT max origin-from-apex radius
     hd = jnp.linalg.norm((chi - clo) * 0.5, axis=-1)  # (S, C)
+
+    if backface:
+        a = v[..., 0, :]
+        nt = jnp.cross(v[..., 1, :] - a, v[..., 2, :] - a)  # (S, C, k, 3)
+        nt = nt / (jnp.linalg.norm(nt, axis=-1, keepdims=True) + 1e-12)
+        nbar = nt.sum(2)
+        nbar = nbar / (jnp.linalg.norm(nbar, axis=-1, keepdims=True)
+                       + 1e-12)                              # (S, C, 3)
+        # padding/degenerate rows have n̂ = 0 → cos 0 → sinθ = 1 → the
+        # cone covers everything and the cluster is never culled (safe)
+        cos_min = jnp.sum(nt * nbar[:, :, None], -1).min(2)  # (S, C)
+        sin_max = jnp.sqrt(jnp.maximum(1.0 - cos_min * cos_min, 0.0))
+        d = apex_t[:, :, None] - cen[:, None]                # (S, tiles, C, 3)
+        # a cluster can show a front face iff some (origin o, surface
+        # point x, normal n in cone) has n·(o − x) > 0; with x on its
+        # triangle's plane n·x = n·a, bounded by the AABB half-diagonal:
+        # max n·(o − x) ≤ n̄·(apex − cen) + |apex − cen|·sinθ + spread + hd
+        front = (jnp.sum(nbar[:, None] * d, -1)
+                 + dist * sin_max[:, None]
+                 + spread[..., None] + hd[:, None]) > 0.0
+        active = active & front
+
     lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
     lb_all = jnp.where(active, lb_all, BIG)
     return active, dist, lb_all
@@ -328,7 +417,7 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
 
 def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                           max_depth: float, cap: int, lo: Array, hi: Array,
-                          img_w: Optional[int]):
+                          img_w: Optional[int], backface: bool = False):
     """Two-level cull for large meshes: ``pack_triangles`` Morton-sorted the
     rows, so consecutive ``CLUSTER``-triangle groups are spatially tight.
     Cull/sort/compact whole clusters (64× smaller sort and one-hot matmul
@@ -339,7 +428,8 @@ def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
     C = T // CLUSTER
     n_tiles = lo.shape[1]
     active, dist, lb_all = _cluster_activity(
-        tris, origins_c, dirs_c, max_depth, lo, hi, img_w)
+        tris, origins_c, dirs_c, max_depth, lo, hi, img_w,
+        backface=backface)
 
     cap_c = max(1, min(cap, T) // CLUSTER)
     key = jnp.where(active, dist, jnp.inf)
@@ -355,12 +445,15 @@ def _cluster_cull_compact(tris: Array, origins_c: Array, dirs_c: Array,
                       preferred_element_type=lb_all.dtype,
                       precision=jax.lax.Precision.HIGHEST)
     lb = jnp.repeat(lb_c, CLUSTER, axis=-1)
-    return out, counts, lb
+    ids = (order[:, :, :cap_c, None].astype(jnp.int32) * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(
+        S, n_tiles, cap_c * CLUSTER)
+    return out, counts, lb, ids
 
 
 def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
                          max_depth: float, cap: int,
-                         img_w: Optional[int]):
+                         img_w: Optional[int], backface: bool = False):
     """Huge-mesh prepass: per-tile CLUSTER-ID lists instead of a compacted
     triangle buffer. The kernel's triangle block then DMAs straight out of
     the shared (S, C, CLUSTER, 9) soup via a scalar-prefetched index map —
@@ -376,15 +469,22 @@ def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
         1, 2, 0)
     hi = (o.max(-1) + max_depth * jnp.maximum(d.max(-1), 0.0)).transpose(
         1, 2, 0)
-    # PAIR consecutive Morton clusters into 128-row blocks for the largest
-    # meshes: the ~0.7 µs/grid-step overhead halves and Morton adjacency
-    # keeps pairs spatially tight. Below ~50k triangles the coarser cull
-    # costs more than the step saving (measured: 23k tris 89→96 ms, 92k
-    # tris 264→240 ms)
-    cluster = (2 * CLUSTER if T >= 49152 and T % (2 * CLUSTER) == 0
-               else CLUSTER)
+    # GROUP consecutive Morton clusters into bigger kernel blocks: each
+    # (tile, chunk) grid step costs ~0.5 µs of Mosaic dispatch whether it
+    # executes or skips, and at 23k triangles (90 chunks × 1024 tiles)
+    # that dispatch was the DOMINANT cost (~45 of 68 µs/tile measured).
+    # Bigger blocks trade cull granularity (AABB slop grows) for 2-4×
+    # fewer grid steps — with the cheap signed-volume body the trade wins
+    # well past the old 128 pairing rule.
+    # Swept on v5e (23k garage, backface on, SV body): 64 → 70.6 ms,
+    # 128 → 60.9 ms, 256 → 68.0 ms (cull slop overtakes the step saving)
+    cluster = _SOUP_CLUSTER_OVERRIDE or (
+        2 * CLUSTER if T % (2 * CLUSTER) == 0 else CLUSTER)
+    while T % cluster:
+        cluster //= 2
     active, dist, lb_all = _cluster_activity(
-        tris, origins_c, dirs_c, max_depth, lo, hi, img_w, cluster=cluster)
+        tris, origins_c, dirs_c, max_depth, lo, hi, img_w, cluster=cluster,
+        backface=backface)
     cap_c = max(1, min(cap, T) // cluster)
     key = jnp.where(active, dist, jnp.inf)
     order = jnp.argsort(key, axis=-1, stable=True)
@@ -402,6 +502,21 @@ def _cluster_ids_prepass(tris: Array, origins_c: Array, dirs_c: Array,
 # ---------------------------------------------------------------------------
 
 
+def _normals_from_gid(tris: Array, gid: Array, dirs_c: Array,
+                      hit: Array) -> Array:
+    """Winning-triangle geometric normals by ONE XLA gather — cheaper
+    than carrying three per-triangle ``where`` selects through the
+    kernels. Oriented against the ray; zero on misses."""
+    S, R = gid.shape
+    a = tris[..., 0:3]
+    n_tri = jnp.cross(tris[..., 3:6] - a, tris[..., 6:9] - a)  # (S, T, 3)
+    n = jnp.take_along_axis(n_tri, gid[..., None], axis=1)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    d_pm = jnp.transpose(dirs_c, (1, 2, 0))
+    n = jnp.where(jnp.sum(n * d_pm, -1, keepdims=True) > 0, -n, n)
+    return jnp.where(hit[..., None], n, 0.0)
+
+
 TRI_UNROLL = 64  # rows per grid-chunk: the Mosaic program size is bounded
 # by this unrolled body — a fully-unrolled 256-row kernel was observed to
 # compile for >25 min, while small chunks iterated over a SEQUENTIAL minor
@@ -412,12 +527,16 @@ TRI_UNROLL = 64  # rows per grid-chunk: the Mosaic program size is bounded
 
 def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref,
-                t_ref, hit_ref, nx_ref, ny_ref, nz_ref,
+                t_ref, hit_ref, g_ref,
                 *, chunk: int, n_chunks: int, max_depth: float,
                 shared_origin: bool):
     """One (scene, tile, chunk) grid step: intersect the tile's rays with
     this chunk's ``chunk`` compacted triangles, folding the running min-t
-    and its face normal into the revisited output blocks.
+    and the winning SLOT index (chunk·``chunk`` + row) into the revisited
+    output blocks. The caller maps slots to global triangle ids through
+    the compaction order and gathers normals/materials with one XLA
+    gather — three per-triangle ``where`` selects and two whole output
+    streams cheaper than carrying nx/ny/nz through the kernel.
 
     Two whole-tile skips bound the cost by the tile's TRUE workload:
     * count skip — compaction sorts actives first, so chunks past the
@@ -435,9 +554,7 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     @pl.when(ci == 0)
     def _init():
         t_ref[0, 0] = jnp.full((ROWS, LANES), BIG, jnp.float32)
-        nx_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
-        ny_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
-        nz_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
+        g_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
 
     worst = jnp.minimum(jnp.max(t_ref[0, 0]), max_depth)
 
@@ -447,44 +564,31 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
         if not shared_origin:
             ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+        base = (ci * chunk).astype(jnp.float32)
         tbest = t_ref[0, 0]
-        nxb = nx_ref[0, 0]
-        nyb = ny_ref[0, 0]
-        nzb = nz_ref[0, 0]
+        gbest = g_ref[0, 0]
         for j in range(chunk):
             def Tr(c):
                 return tri_ref[0, 0, 0, j, c]
 
             if shared_origin:
                 # camera tiles: one origin per tile ⇒ Möller–Trumbore is
-                # LINEAR in d. det = d·(e2×e1), u·det = d·(e2×tvec),
-                # v·det = d·(tvec×e1), t·det = e2·(tvec×e1). The XLA
-                # prepass ships those per-triangle coefficients as the
-                # payload (`_tri_coeffs`) — the kernel's scalar-core work
-                # is 10 loads/row (computing the crosses in-kernel was
-                # measured scalar-bound: ~45 scalar ops × 64 rows starved
-                # the VPU) and the per-ray body is 3 dot products + tests
-                # (~half the vector flops of classic MT)
-                c1x, c1y, c1z = Tr(0), Tr(1), Tr(2)
-                c2x, c2y, c2z = Tr(3), Tr(4), Tr(5)
-                c3x, c3y, c3z = Tr(6), Tr(7), Tr(8)
-                kt = Tr(9)
-                det = dx * c1x + dy * c1y + dz * c1z
-                okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
-                inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-                u_det = dx * c2x + dy * c2y + dz * c2z
-                v_det = dx * c3x + dy * c3y + dz * c3z
-                tk = kt * inv
-                # u ≥ 0 ⇔ u_det·det ≥ 0 etc. (det ≠ 0 via okd);
-                # u + v ≤ 1 ⇔ (u_det + v_det)·det ≤ det²
-                ok = (okd * (u_det * det >= 0.0).astype(jnp.float32)
-                      * (v_det * det >= 0.0).astype(jnp.float32)
-                      * ((u_det + v_det) * det <= det * det
-                         ).astype(jnp.float32)
-                      * (tk > 1e-4).astype(jnp.float32))
-                # geometric normal e1 × e2 = −c1; the post-pass flips the
-                # normal against the ray, so the sign is immaterial
-                gnx, gny, gnz = c1x, c1y, c1z
+                # LINEAR in d. The payload rows are SIGNED-VOLUME
+                # coefficients (`_sv_pages` algebra): wᵢ = d·gᵢ are the
+                # three edge volumes, a hit needs them same-signed, and
+                # t = kt/(w0+w1+w2) — 9 FMAs + 3 sign products per
+                # triangle vs classic MT's ~45 vector ops (computing the
+                # crosses in-kernel was measured scalar-bound)
+                w0 = dx * Tr(0) + dy * Tr(1) + dz * Tr(2)
+                w1 = dx * Tr(3) + dy * Tr(4) + dz * Tr(5)
+                w2 = dx * Tr(6) + dy * Tr(7) + dz * Tr(8)
+                wsum = w0 + w1 + w2
+                ok = ((w0 * w1 >= 0.0) & (w0 * w2 >= 0.0)
+                      & (w1 * w2 >= 0.0))
+                # W == 0 / all-zero rows resolve through IEEE: tk = ±inf
+                # or NaN never passes (tk < tbest) / (tk > 1e-4)
+                tk = Tr(9) * (1.0 / wsum)
+                ok = ok & (tk > 1e-4)
             else:
                 ax, ay, az = Tr(0), Tr(1), Tr(2)
                 e1x, e1y, e1z = Tr(3) - ax, Tr(4) - ay, Tr(5) - az
@@ -495,7 +599,7 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 pz = dx * e2y - dy * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
-                okd = (jnp.abs(det) > 1e-9).astype(jnp.float32)
+                okd = jnp.abs(det) > 1e-9
                 tx, ty, tz = ox - ax, oy - ay, oz - az
                 u = (tx * px + ty * py + tz * pz) * inv
                 # qvec = tvec × e1
@@ -504,25 +608,15 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 qz = tx * e1y - ty * e1x
                 vv = (dx * qx + dy * qy + dz * qz) * inv
                 tk = (e2x * qx + e2y * qy + e2z * qz) * inv
-                ok = (okd * (u >= 0.0).astype(jnp.float32)
-                      * (vv >= 0.0).astype(jnp.float32)
-                      * (u + vv <= 1.0).astype(jnp.float32)
-                      * (tk > 1e-4).astype(jnp.float32))
-                # geometric normal e1 × e2 (scalars — whole-tile constants)
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-            tk = jnp.where(ok > 0.5, tk, BIG)
+                ok = (okd & (u >= 0.0) & (vv >= 0.0)
+                      & (u + vv <= 1.0) & (tk > 1e-4))
+            tk = jnp.where(ok, tk, BIG)
             better = tk < tbest
-            nxb = jnp.where(better, gnx, nxb)
-            nyb = jnp.where(better, gny, nyb)
-            nzb = jnp.where(better, gnz, nzb)
-            tbest = jnp.minimum(tbest, tk)
+            gbest = jnp.where(better, base + float(j), gbest)
+            tbest = jnp.where(better, tk, tbest)
 
         t_ref[0, 0] = tbest
-        nx_ref[0, 0] = nxb
-        ny_ref[0, 0] = nyb
-        nz_ref[0, 0] = nzb
+        g_ref[0, 0] = gbest
 
     @pl.when(ci == n_chunks - 1)
     def _finalise():
@@ -533,20 +627,62 @@ def _tri_kernel(nch_ref, lb_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
                      max_depth: float = 20.0, cap: int = 256,
-                     img_w: Optional[int] = None
+                     img_w: Optional[int] = None,
+                     cam_rays: Optional[int] = None,
+                     backface: bool = False
                      ) -> Tuple[Array, Array, Array]:
-    """(S, T, 9) × (3, S, R) → (t, hit, normal (S, R, 3)). R % 1024 == 0."""
+    """(S, T, 9) × (3, S, R) → (t, hit, normal (S, R, 3)). R % 1024 == 0.
+
+    ``cam_rays`` (H·W per camera, when rays arrive as whole row-major
+    cameras) unlocks two dense-mesh optimisations: square pixel-block
+    tiling (tighter per-tile frusta) and the per-camera signed-volume
+    payload (`_tri_trace_pallas_camsoup`) for T > ``SHARED_SOUP_MIN_T``."""
     _, S, R = origins_c.shape
     if R % TILE:
         raise ValueError(f"rays per scene ({R}) must be a multiple of {TILE}")
     tiles = R // TILE
     cap = min(cap, tris.shape[1])
-    if tris.shape[1] > SHARED_SOUP_MIN_T and tris.shape[1] % CLUSTER == 0:
+    T = tris.shape[1]
+    whole_cams = (img_w is not None and cam_rays is not None
+                  and cam_rays % TILE == 0 and R % cam_rays == 0
+                  and cam_rays % img_w == 0)
+    # square pixel blocks: repack each camera's row-major rays into
+    # (bh, bw) blocks so a tile's frustum is a compact square wedge
+    # instead of a full-width strip (measured on the 23k garage: visible
+    # clusters/tile mean 58.6 → 53.3)
+    if whole_cams and img_w > 32 and img_w % 32 == 0:
+        H, bw = cam_rays // img_w, 32
+        bh = TILE // bw
+        if H % bh == 0:
+            cams = R // cam_rays
+            hb, wb = H // bh, img_w // bw
+
+            def fwd(x):
+                x = x.reshape(3, S, cams, hb, bh, wb, bw)
+                return x.transpose(0, 1, 2, 3, 5, 4, 6).reshape(3, S, R)
+
+            t, hit, n, gid = tri_trace_pallas(
+                tris, fwd(origins_c), fwd(dirs_c), max_depth, cap,
+                bw, cam_rays, backface)
+
+            def inv(y):
+                y = y.reshape(S, cams, hb, wb, bh, bw, -1)
+                return y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                    S, R, -1)
+
+            return (inv(t[..., None])[..., 0], inv(hit[..., None])[..., 0],
+                    inv(n), inv(gid[..., None])[..., 0])
+    if T > SHARED_SOUP_MIN_T and T % CLUSTER == 0:
+        if whole_cams:
+            return _tri_trace_pallas_camsoup(
+                tris, origins_c, dirs_c, max_depth, cap, img_w, cam_rays,
+                backface)
         return _tri_trace_pallas_soup(tris, origins_c, dirs_c, max_depth,
-                                      cap, img_w)
+                                      cap, img_w, backface)
     sg = jax.lax.stop_gradient
-    tric, counts, lb = tri_cull_compact(tris, sg(origins_c), sg(dirs_c),
-                                        max_depth, cap, img_w=img_w)
+    tric, counts, lb, ids = tri_cull_compact(tris, sg(origins_c),
+                                             sg(dirs_c), max_depth, cap,
+                                             img_w=img_w, backface=backface)
     cap = tric.shape[2]  # effective: cluster path rounds to whole clusters
     counts = jnp.minimum(counts, cap)
     # large caps prefer bigger chunks (fewer ~0.8 µs grid steps); small caps
@@ -559,6 +695,7 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
         pad = chunk - cap % chunk
         tric = jnp.pad(tric, ((0, 0), (0, 0), (0, pad), (0, 0)))
         lb = jnp.pad(lb, ((0, 0), (0, 0), (0, pad)), constant_values=BIG)
+        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, pad)))
         cap += pad
     n_chunks = cap // chunk
     # chunks needed per tile (count skip) + per-chunk hit-t lower bound
@@ -575,16 +712,17 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
     # bound; see _tri_kernel)
     shared_origin = img_w is not None
     if shared_origin:
-        a = tric[..., 0:3]
-        e1 = tric[..., 3:6] - a
-        e2 = tric[..., 6:9] - a
+        # SIGNED-VOLUME payload (`_sv_pages` algebra, per-tile origin)
         o_t = sg(origins_c).reshape(3, S, tiles, TILE)[..., 0]
-        tv = o_t.transpose(1, 2, 0)[:, :, None] - a  # (S, tiles, cap, 3)
-        c1 = jnp.cross(e2, e1)
-        c2 = jnp.cross(e2, tv)
-        c3 = jnp.cross(tv, e1)
-        kt = jnp.sum(e2 * c3, -1, keepdims=True)
-        tric = jnp.concatenate([c1, c2, c3, kt], -1)  # (S, tiles, cap, 10)
+        o4 = o_t.transpose(1, 2, 0)[:, :, None]      # (S, tiles, 1, 3)
+        a_ = tric[..., 0:3] - o4
+        b_ = tric[..., 3:6] - o4
+        c_ = tric[..., 6:9] - o4
+        g0 = jnp.cross(b_, c_)
+        g1 = jnp.cross(c_, a_)
+        g2 = jnp.cross(a_, b_)
+        kt = jnp.sum(a_ * g0, -1, keepdims=True)
+        tric = jnp.concatenate([g0, g1, g2, kt], -1)  # (S, tiles, cap, 10)
     width = tric.shape[-1]
     tric = tric.reshape(S, tiles, n_chunks, chunk, width)
 
@@ -620,24 +758,23 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
             ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec, ray_spec,
         ],
-        out_specs=[ray_spec] * 5,
+        out_specs=[ray_spec] * 3,
     )
-    t, hit, nx, ny, nz = pl.pallas_call(
+    t, hit, slot = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[out_sds] * 5,
+        out_shape=[out_sds] * 3,
     )(nch, lbc, tric, comp(origins_c, 0), comp(origins_c, 1),
       comp(origins_c, 2), comp(dirs_c, 0), comp(dirs_c, 1),
       comp(dirs_c, 2))
 
     t = t.reshape(S, R)
     hit = hit.reshape(S, R) > 0.5
-    n = jnp.stack([nx.reshape(S, R), ny.reshape(S, R), nz.reshape(S, R)],
-                  axis=-1)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
-    d_pm = jnp.transpose(dirs_c, (1, 2, 0))
-    n = jnp.where(jnp.sum(n * d_pm, -1, keepdims=True) > 0, -n, n)
-    return t, hit, n
+    # slot → global triangle id through the compaction order
+    slot = slot.reshape(S, tiles, TILE).astype(jnp.int32)
+    gid = jnp.take_along_axis(ids, slot, axis=2).reshape(S, R)
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
 
 
 def _tri_kernel_soup(nch_ref, lb_ref, cid_ref, tri_ref, *rest,
@@ -648,7 +785,7 @@ def _tri_kernel_soup(nch_ref, lb_ref, cid_ref, tri_ref, *rest,
 
 def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
                            max_depth: float, cap: int,
-                           img_w: Optional[int]
+                           img_w: Optional[int], backface: bool = False
                            ) -> Tuple[Array, Array, Array]:
     """Huge-mesh path (T > ``SHARED_SOUP_MIN_T``): the kernel's triangle
     block is indexed by a scalar-prefetched per-tile cluster-ID list, so
@@ -656,13 +793,14 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
     per-tile compacted buffer (memory O(T), not O(tiles × cap)). Same
     count-skip and occlusion early-out contracts as the compacted path;
     the body is classic per-ray Möller–Trumbore (per-tile coefficient
-    payloads would need a per-tile buffer again)."""
+    payloads would need a per-tile buffer; camera workloads take
+    `_tri_trace_pallas_camsoup` instead)."""
     _, S, R = origins_c.shape
     T = tris.shape[1]
     tiles = R // TILE
     sg = jax.lax.stop_gradient
     cids, counts, lb_c, cluster = _cluster_ids_prepass(
-        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w)
+        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w, backface)
     n_chunks = cids.shape[2]
     nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
     soup = tris.reshape(S, T // cluster, 1, cluster, 9)
@@ -706,10 +844,10 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
             ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec, ray_spec,
         ],
-        out_specs=[ray_spec] * 5,
+        out_specs=[ray_spec] * 3,
     )
     call = pl.pallas_call(kernel, grid_spec=grid_spec,
-                          out_shape=[out_sds] * 5)
+                          out_shape=[out_sds] * 3)
     parts = []
     for g in range(groups):
         tl = slice(g * gt, (g + 1) * gt)
@@ -720,17 +858,194 @@ def _tri_trace_pallas_soup(tris: Array, origins_c: Array, dirs_c: Array,
             comp(origins_c, 0)[:, tl], comp(origins_c, 1)[:, tl],
             comp(origins_c, 2)[:, tl], comp(dirs_c, 0)[:, tl],
             comp(dirs_c, 1)[:, tl], comp(dirs_c, 2)[:, tl]))
-    t, hit, nx, ny, nz = (jnp.concatenate(x, axis=1)
-                          for x in zip(*parts))
+    t, hit, slot = (jnp.concatenate(x, axis=1) for x in zip(*parts))
 
     t = t.reshape(S, R)
     hit = hit.reshape(S, R) > 0.5
-    n = jnp.stack([nx.reshape(S, R), ny.reshape(S, R), nz.reshape(S, R)],
-                  axis=-1)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
-    d_pm = jnp.transpose(dirs_c, (1, 2, 0))
-    n = jnp.where(jnp.sum(n * d_pm, -1, keepdims=True) > 0, -n, n)
-    return t, hit, n
+    # slot = position in the tile's cluster-ID list → global triangle id
+    slot = slot.reshape(S, tiles, TILE).astype(jnp.int32)
+    cid_of = jnp.take_along_axis(cids, slot // cluster, axis=2)
+    gid = (cid_of * cluster + slot % cluster).reshape(S, R)
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
+
+
+# ---------------------------------------------------------------------------
+# camsoup kernel — dense meshes with whole cameras per tile
+# ---------------------------------------------------------------------------
+#
+# A manually double-buffered `while_loop` streaming kernel (dynamic per-tile
+# block walk, HBM→SMEM `make_async_copy`, suffix-min exit) was built and
+# measured SLOWER than grid dispatch: 123 vs 84 ms at 23k triangles, 250 vs
+# 226 ms at 92k — Mosaic's BlockSpec pipeline overlaps the per-chunk DMA far
+# better than hand-rolled prefetch, and the `fori_loop` triangle walk it
+# forced (a fully unrolled body takes Mosaic >200 s to lower inside
+# `while_loop`) lost the unrolled body's ILP. What survives from that
+# experiment is its PAYLOAD: per-(camera, triangle) coefficients that make
+# the per-ray test 3 dot products.
+
+
+def _sv_pages(tris: Array, cam_o: Array, cluster: int) -> Array:
+    """Per-camera SIGNED-VOLUME ray-triangle coefficients.
+
+    tris (S, T, 9) × camera origins (S, cams, 3) → (S, cams, C, cluster,
+    10) pages ``[g0 | g1 | g2 | kt]`` where, with a' = a − o etc.,
+    g0 = b'×c', g1 = c'×a', g2 = a'×b', kt = a'·g0. A ray d then hits iff
+    the three volumes wᵢ = d·gᵢ share a sign, at t = kt / (w0+w1+w2) —
+    9 FMAs + 3 sign products per triangle instead of classic
+    Möller–Trumbore's ~45 vector ops (the same count as the barycentric
+    linear form but with the u+v≤1 test folded into the precompute:
+    w0 plays 1−u−v). Only the o×edge crosses are per-camera work."""
+    S, T = tris.shape[0], tris.shape[1]
+    a, b, c = tris[..., 0:3], tris[..., 3:6], tris[..., 6:9]
+    m0, e0 = jnp.cross(b, c), b - c
+    m1, e1 = jnp.cross(c, a), c - a
+    m2, e2 = jnp.cross(a, b), a - b
+    o = cam_o[:, :, None]                       # (S, cams, 1, 3)
+    g0 = m0[:, None] + jnp.cross(o, e0[:, None])
+    g1 = m1[:, None] + jnp.cross(o, e1[:, None])
+    g2 = m2[:, None] + jnp.cross(o, e2[:, None])
+    kt = jnp.sum((a[:, None] - o) * g0, -1)
+    pages = jnp.concatenate([g0, g1, g2, kt[..., None]], -1)
+    return pages.reshape(S, cam_o.shape[1], T // cluster, cluster, 10)
+
+
+def _tri_kernel_camsoup(nch_ref, lb_ref, cid_ref, pg_ref,
+                        dx_ref, dy_ref, dz_ref,
+                        t_ref, hit_ref, g_ref,
+                        *, chunk: int, n_chunks: int, max_depth: float,
+                        cluster: int):
+    """Signed-volume body over per-camera coefficient pages. Same
+    count-skip + occlusion early-out contracts as `_tri_kernel`; carries
+    the winning GLOBAL triangle id (cluster id × cluster + row) instead of
+    per-triangle normal selects — the caller reconstructs normals with one
+    XLA gather, saving two selects per triangle and two output streams."""
+    si, ti = pl.program_id(0), pl.program_id(1)
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _init():
+        t_ref[0, 0] = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        g_ref[0, 0] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+    worst = jnp.minimum(jnp.max(t_ref[0, 0]), max_depth)
+
+    @pl.when((ci < nch_ref[si, ti])
+             & (lb_ref[si, ti * n_chunks + ci] < worst))
+    def _body():
+        dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
+        cid = cid_ref[si, ti * n_chunks + ci]
+        base = (cid * cluster).astype(jnp.float32)
+        tbest = t_ref[0, 0]
+        gbest = g_ref[0, 0]
+        for j in range(chunk):
+            def Pg(c):
+                return pg_ref[0, 0, 0, j, c]
+
+            w0 = dx * Pg(0) + dy * Pg(1) + dz * Pg(2)
+            w1 = dx * Pg(3) + dy * Pg(4) + dz * Pg(5)
+            w2 = dx * Pg(6) + dy * Pg(7) + dz * Pg(8)
+            wsum = w0 + w1 + w2
+            # same-sign test; all-zero volumes (ray through a vertex edge
+            # case or W = 0 parallel rays) resolve through IEEE below:
+            # tk = ±inf or NaN never passes (tk < tbest)
+            ok = ((w0 * w1 >= 0.0) & (w0 * w2 >= 0.0)
+                  & (w1 * w2 >= 0.0))
+            tk = Pg(9) * (1.0 / wsum)
+            ok = ok & (tk > 1e-4)
+            tk = jnp.where(ok, tk, BIG)
+            better = tk < tbest
+            gbest = jnp.where(better, base + float(j), gbest)
+            tbest = jnp.where(better, tk, tbest)
+        t_ref[0, 0] = tbest
+        g_ref[0, 0] = gbest
+
+    @pl.when(ci == n_chunks - 1)
+    def _finalise():
+        t = jnp.clip(t_ref[0, 0], 0.0, max_depth)
+        t_ref[0, 0] = t
+        hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
+
+
+def _tri_trace_pallas_camsoup(tris: Array, origins_c: Array, dirs_c: Array,
+                              max_depth: float, cap: int, img_w: int,
+                              cam_rays: int, backface: bool = False
+                              ) -> Tuple[Array, Array, Array]:
+    """Dense-mesh path when tiles hold whole cameras (``cam_rays`` a
+    multiple of ``TILE``): the shared-soup structure (per-tile scalar-
+    prefetched cluster-ID lists, O(T) memory) but with per-CAMERA
+    signed-volume coefficient pages (`_sv_pages`) instead of raw
+    triangles — ~2.3× fewer vector ops per triangle than the classic
+    Möller–Trumbore body. Payload memory is O(cams × T) (≈240 MB at 256
+    cams × 23k triangles), rebuilt per frame (bandwidth-bound, ~1 ms)."""
+    _, S, R = origins_c.shape
+    T = tris.shape[1]
+    tiles = R // TILE
+    tpc = cam_rays // TILE  # tiles per camera
+    sg = jax.lax.stop_gradient
+    cids, counts, lb_c, cluster = _cluster_ids_prepass(
+        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w, backface)
+    n_chunks = cids.shape[2]
+    nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
+    cams = R // cam_rays
+    cam_o = sg(origins_c).reshape(3, S, cams, cam_rays)[..., 0]
+    pages = _sv_pages(tris, cam_o.transpose(1, 2, 0), cluster)
+
+    # group tiles to keep the scalar-prefetch arrays ≤ ~256 KB of SMEM;
+    # groups must hold whole cameras so the payload slices cleanly
+    groups = 1
+    while S * (tiles // groups) * n_chunks * 4 > 256 * 1024 \
+            and groups < tiles // tpc:
+        groups += 1
+        while (tiles // tpc) % groups:
+            groups += 1
+    gt = tiles // groups
+    gc = cams // groups
+
+    def comp(x, c):
+        return x[c].reshape(S, tiles, ROWS, LANES)
+
+    ray_spec = pl.BlockSpec((1, 1, ROWS, LANES),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec(
+        (1, 1, 1, cluster, 10),
+        lambda s, i, c, nch, lbc, cid: (
+            s, i // tpc,
+            cid[s, i * n_chunks + jnp.minimum(c, nch[s, i] - 1)],
+            0, 0),
+        memory_space=pltpu.SMEM)
+    out_sds = jax.ShapeDtypeStruct((S, gt, ROWS, LANES), jnp.float32)
+
+    pages, nch, lb_c, cids = jax.lax.optimization_barrier(
+        (pages, nch, lb_c, cids))
+    kernel = functools.partial(_tri_kernel_camsoup, chunk=cluster,
+                               n_chunks=n_chunks, max_depth=max_depth,
+                               cluster=cluster)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, gt, n_chunks),
+        in_specs=[pg_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=[ray_spec] * 3,
+    )
+    call = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=[out_sds] * 3)
+    parts = []
+    for g in range(groups):
+        tl = slice(g * gt, (g + 1) * gt)
+        parts.append(call(
+            nch[:, tl], lb_c[:, tl].reshape(S, gt * n_chunks),
+            cids[:, tl].reshape(S, gt * n_chunks),
+            pages[:, g * gc:(g + 1) * gc],
+            comp(dirs_c, 0)[:, tl], comp(dirs_c, 1)[:, tl],
+            comp(dirs_c, 2)[:, tl]))
+    t, hit, gid = (jnp.concatenate(x, axis=1) for x in zip(*parts))
+
+    t = t.reshape(S, R)
+    hit = hit.reshape(S, R) > 0.5
+    gid = gid.reshape(S, R).astype(jnp.int32)
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
 
 
 def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
@@ -738,8 +1053,8 @@ def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
                img_w: Optional[int] = None) -> dict:
     """Visible-triangle counts per tile + the overflow fraction for sizing
     ``cap`` (the documented coverage contract)."""
-    _, counts, _lb = tri_cull_compact(tris, origins_c, dirs_c, max_depth,
-                                      cap=1, img_w=img_w)
+    _, counts, _lb, _ids = tri_cull_compact(tris, origins_c, dirs_c,
+                                            max_depth, cap=1, img_w=img_w)
     c = np.asarray(counts)
     return {"max": int(c.max()), "mean": float(c.mean()),
             "p99": float(np.percentile(c, 99)),
@@ -751,28 +1066,32 @@ def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def tri_trace_diff(tris, origins_c, dirs_c, max_depth=20.0, cap=256,
-                   img_w=None, use_pallas=True):
+                   img_w=None, use_pallas=True, cam_rays=None,
+                   backface=False):
     if use_pallas:
         return tri_trace_pallas(tris, origins_c, dirs_c, max_depth, cap,
-                                img_w)
+                                img_w, cam_rays, backface)
     o = jnp.transpose(origins_c, (1, 2, 0))
     d = jnp.transpose(dirs_c, (1, 2, 0))
     return tri_trace_xla(tris, o, d, max_depth)
 
 
-def _ttd_fwd(tris, origins_c, dirs_c, max_depth, cap, img_w, use_pallas):
-    t, hit, n = tri_trace_diff(tris, origins_c, dirs_c, max_depth, cap,
-                               img_w, use_pallas)
-    return (t, hit, n), (tris, dirs_c, t, hit, n)
+def _ttd_fwd(tris, origins_c, dirs_c, max_depth, cap, img_w, use_pallas,
+             cam_rays, backface):
+    t, hit, n, gid = tri_trace_diff(tris, origins_c, dirs_c, max_depth,
+                                    cap, img_w, use_pallas, cam_rays,
+                                    backface)
+    return (t, hit, n, gid), (tris, dirs_c, t, hit, n)
 
 
-def _ttd_bwd(max_depth, cap, img_w, use_pallas, residuals, cotangents):
+def _ttd_bwd(max_depth, cap, img_w, use_pallas, cam_rays, backface,
+             residuals, cotangents):
     """IFT gradient — exact for the planar hit surface:
     ∂t/∂o = −n/(n·d), ∂t/∂d = −t·n/(n·d)."""
     tris, dirs_c, t, hit, n = residuals
-    g_t, _g_hit, _g_n = cotangents
+    g_t, _g_hit, _g_n, _g_gid = cotangents
     d = jnp.transpose(dirs_c, (1, 2, 0))
     denom = jnp.sum(n * d, axis=-1)
     scale = jnp.where(hit & (jnp.abs(denom) > 1e-3), 1.0 / denom, 0.0)
