@@ -207,3 +207,36 @@ def test_navigation_indiv_reward_telemetry():
     assert {"extra_approach", "extra_col_dis", "extra_success"} <= set(extras)
     np.testing.assert_allclose(np.asarray(out.reward),
                                sum(extras.values()), rtol=1e-5)
+
+
+def test_grad_collision_flag_enables_position_gradient():
+    """`grad_collision=True` keeps the closest-point query differentiable
+    in position (possible because the query is native jnp — the
+    reference's CGAL query is a black box); default False matches the
+    reference's gradient-free collision values."""
+    import jax
+
+    from visfly_tpu.envs import NavigationEnv
+
+    def col_dis_grad(flag):
+        env = NavigationEnv(
+            num_agent_per_scene=4, visual=True,
+            grad_collision=flag,
+            scene_kwargs={"path": "garage_simple_l_medium"},
+            sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                            "resolution": [16, 16]}],
+            random_kwargs={"state_generator": {"class": "Uniform",
+                           "kwargs": [{"position": {"mean": [1.0, 0.0, 1.5],
+                                       "half": [0.3, 0.3, 0.3]}}]}},
+        )
+        state, _ = env.reset(jax.random.PRNGKey(0))
+
+        def f(pos):
+            dyn = state.dyn._replace(pos=pos)
+            info, _ = env._update_collision(dyn, state.collision.is_out_bounds)
+            return info.dis.sum()
+
+        return np.abs(np.asarray(jax.grad(f)(state.dyn.pos))).sum()
+
+    assert col_dis_grad(False) == 0.0
+    assert col_dis_grad(True) > 1e-3

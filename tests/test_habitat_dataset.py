@@ -370,3 +370,86 @@ def test_habitat_material_colors_reach_render(tmp_path):
     assert cube_prims, [p["semantic"] for p in spec.primitives]
     col = np.asarray(cube_prims[0]["color"], int)
     assert col[0] == 255 and col[1] == 0 and col[2] == 0, col
+
+
+def test_habitat_textured_glb_object_renders_texture(tmp_path):
+    """VERDICT r3 item 2, composite-scene leg: a habitat dataset whose
+    object is a TEXTURED GLB must come back with merged UV/atlas tables
+    and render the texture's two colors through the exact-tri backend
+    (untextured OBJ instances coexist as flat 1×1 texels)."""
+    import io
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_mesh_native import _write_glb_textured
+
+    from visfly_tpu.envs import NavigationEnv
+    from visfly_tpu.scene.habitat_dataset import load_habitat_scene_mesh
+
+    root = tmp_path
+    for d in ("configs/stages", "configs/objects", "configs/scenes",
+              "meshes"):
+        os.makedirs(root / d, exist_ok=True)
+    t = 0.2
+    _write_cuboid_obj(
+        root / "meshes" / "room.obj",
+        [0.0, -t / 2, -4.0], [3 + t, t / 2, 4 + t],
+        extra=[([0.0, 1.5, -(8 + t / 2)], [3 + t, 1.5, t / 2])])
+
+    # checkered wall quad, habitat frame: std x∈[2,2] plane won't survive
+    # the axis map trivially — author it as a vertical quad at hab_z=-4
+    # (std x=4) spanning hab_x∈[-2,2] (std y∈[-2,2]) hab_y∈[0,3] (std z)
+    cells = (np.indices((8, 8)).sum(0) % 2) * 160 + 60
+    img = np.kron(cells, np.ones((8, 8), np.uint8)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(np.stack([img] * 3, -1)).save(buf, format="PNG")
+    verts = np.asarray([[-2, 0, 0], [2, 0, 0], [2, 3, 0], [-2, 3, 0]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+    uvs = np.asarray([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    _write_glb_textured(str(root / "meshes" / "wall.glb"), verts, faces,
+                        uvs, buf.getvalue())
+
+    (root / "configs" / "stages" / "room.stage_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/room.obj"}))
+    (root / "configs" / "objects" / "wall.object_config.json").write_text(
+        json.dumps({"render_asset": "../../meshes/wall.glb"}))
+    (root / "configs" / "scenes" / "s1.scene_instance.json").write_text(
+        json.dumps({
+            "stage_instance": {"template_name": "room"},
+            "object_instances": [
+                {"template_name": "wall", "translation": [0.0, 0.0, -4.0]}],
+        }))
+    (root / "demo.scene_dataset_config.json").write_text(json.dumps({
+        "stages": {"paths": {".json": ["configs/stages"]}},
+        "objects": {"paths": {".json": ["configs/objects"]}},
+    }))
+
+    out = load_habitat_scene_mesh(
+        str(root / "configs" / "scenes" / "s1.scene_instance.json"),
+        return_instances=True, return_textures=True)
+    texinfo = out[-1]
+    assert len(texinfo["images"]) >= 2  # checker + flat stage texel
+    assert texinfo["uv"].shape[0] == texinfo["tex"].shape[0]
+
+    import jax.numpy as jnp
+
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.mesh import bake_scenes_from_meshes
+
+    v, fc, _b, inst, cols, tex = out
+    data = bake_scenes_from_meshes([(v, fc, inst, cols, tex)],
+                                   spacing=0.15)
+    assert data.tri_uv.shape[-1] == 6 and data.atlas.ndim == 4
+    rgb = render_camera(
+        data, jnp.zeros(1, jnp.int32), jnp.asarray([[1.0, 0.0, 1.5]]),
+        jnp.asarray([[1.0, 0.0, 0.0, 0.0]]),
+        {"uuid": "color", "sensor_type": "color", "resolution": [32, 32]},
+        max_depth=12.0)["color"]
+    g = np.asarray(rgb)[0, 0].astype(np.int32)
+    vals = g[g > 0]
+    assert vals.size > 200
+    # the checkered wall fills the forward view: both cell colors present
+    assert vals.max() > 2.2 * max(np.percentile(vals, 10), 1)

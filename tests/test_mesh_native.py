@@ -412,3 +412,106 @@ def test_closest_point_query_mesh_scene_is_exact_and_grid_error_bounded():
     print(f"grid-collision error vs exact (8 cm bake): "
           f"p95={p95*100:.1f} cm max={g_err.max()*100:.1f} cm")
     assert p95 < 0.08, "grid p95 error should stay under one cell"
+
+
+def _write_glb_textured(path, verts, faces, uvs, png_bytes):
+    """GLB with TEXCOORD_0 + an embedded PNG baseColorTexture."""
+    pos = verts.astype(np.float32).tobytes()
+    idx = faces.astype(np.uint32).tobytes()
+    uv = uvs.astype(np.float32).tobytes()
+    bin_chunk = pos + idx + uv + png_bytes
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 2},
+            "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": 3, "mimeType": "image/png"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(verts),
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": faces.size,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": len(uvs),
+             "type": "VEC2"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos)},
+            {"buffer": 0, "byteOffset": len(pos), "byteLength": len(idx)},
+            {"buffer": 0, "byteOffset": len(pos) + len(idx),
+             "byteLength": len(uv)},
+            {"buffer": 0, "byteOffset": len(pos) + len(idx) + len(uv),
+             "byteLength": len(png_bytes)},
+        ],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    bin_chunk += b"\x00" * (-len(bin_chunk) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
+        f.write(bin_chunk)
+
+
+def test_textured_glb_renders_checkerboard(tmp_path):
+    """VERDICT r3 item 2 golden test: a checkerboard baseColorTexture on a
+    wall quad must come back as CHECKERBOARD PIXELS from the exact-tri RGB
+    backend (UV interpolation + atlas sampling), not a flat mean color."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.mesh import bake_mesh_scene, load_glb_textured
+
+    # 8×8 checkerboard, 64×64 px (dark gray / near-white, so BOTH cell
+    # colors render non-zero and 'hit' can be read off the pixel sum)
+    cells = (np.indices((8, 8)).sum(0) % 2) * 160 + 60
+    img = np.kron(cells, np.ones((8, 8), np.uint8)).astype(np.uint8)
+    img = np.stack([img] * 3, -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+
+    # wall quad at x=2, spanning y∈[-2,2], z∈[-2,2], facing −x
+    verts = np.asarray([[2, -2, -2], [2, 2, -2], [2, 2, 2], [2, -2, 2]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+    uvs = np.asarray([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    p = str(tmp_path / "checker.glb")
+    _write_glb_textured(p, verts, faces, uvs, buf.getvalue())
+
+    v, f, texinfo = load_glb_textured(p)
+    assert texinfo is not None and len(texinfo["images"]) == 1
+
+    data = bake_mesh_scene(p, spacing=0.25, margin=2.5)
+    assert data.tri_uv.shape[-1] == 6 and data.atlas.ndim == 4
+
+    pos = jnp.asarray([[-0.5, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    out = render_camera(data, jnp.zeros(1, jnp.int32), pos, q,
+                        {"sensor_type": "color", "resolution": [64, 64]},
+                        max_depth=10.0)
+    rgb = np.transpose(np.asarray(out["color"])[0], (1, 2, 0))
+    hit = rgb.sum(-1) > 0
+    assert hit.mean() > 0.5, "wall must fill most of the frame"
+    # checkerboard: both dark and bright texels present in quantity,
+    # and alternating structure along a row (many sign changes)
+    g = rgb[..., 0].astype(np.int32)[hit.any(1)][:, hit.any(0)]
+    mid = (g.max() + g.min()) / 2
+    # the two cell colors must keep their ~3.7× contrast through shading
+    assert g.max() > 2.5 * max(g.min(), 1)
+    row = g[g.shape[0] // 2]
+    flips = int((np.abs(np.diff((row > mid).astype(int))) > 0).sum())
+    assert flips >= 4, f"expected alternating cells, got {flips} flips"
+    frac_dark = float((g < mid).mean())
+    assert 0.2 < frac_dark < 0.8, "both cell colors must cover the wall"

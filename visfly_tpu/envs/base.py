@@ -140,6 +140,7 @@ class DroneGymEnv:
         uav_radius: float = 0.1,
         sensitive_radius: float = 10.0,
         col_refine_steps: int = 0,
+        grad_collision: bool = False,
         multi_drone: bool = False,
         latent_dim: Optional[int] = None,
         dtype=jnp.float32,
@@ -157,6 +158,13 @@ class DroneGymEnv:
         self.uav_radius = float(uav_radius)
         self.sensitive_radius = float(sensitive_radius)
         self.col_refine_steps = int(col_refine_steps)
+        # grad_collision=True keeps the closest-point query differentiable
+        # in position, so the col_dis/col_closing reward terms carry an
+        # analytic POSITION gradient into BPTT/SHAC — something the
+        # reference cannot offer (its CGAL query is a black box,
+        # `SceneManager.py:440-445`, so its rewards only see collision
+        # values, never ∂dis/∂pos). Default False = reference parity.
+        self.grad_collision = bool(grad_collision)
         self.is_multi_drone = multi_drone
         self.dtype = dtype
         self.max_sense_radius = 10.0
@@ -346,11 +354,19 @@ class DroneGymEnv:
         drones themselves."""
         if self.objects is None or type(state.objects) is tuple:
             return None
+        import numpy as np
+
+        from ..scene.mesh import instance_palette
+
         S = self.num_scene
         m = self.objects.num_objects // S
+        colors = jnp.asarray(
+            np.tile(instance_palette(m + 1)[1:][None], (S, 1, 1)),
+            jnp.float32)
         return (
             state.objects.pos.reshape(S, m, 3),
             self.objects.radius.reshape(S, m),
+            colors,
         )
 
     # -- helpers --------------------------------------------------------------
@@ -442,7 +458,8 @@ class DroneGymEnv:
         come from the dt=0 sample only (`droneEnv.py:364` takes ``[:,0,:]``);
         the sub-samples contribute solely to the out-of-bounds ``any()``.
         """
-        pos = jax.lax.stop_gradient(dyn.pos)
+        pos = (dyn.pos if getattr(self, "grad_collision", False)
+               else jax.lax.stop_gradient(dyn.pos))
         scene = self.scene if scene is None else scene
         if scene is not None and type(scene) is not tuple:
             from ..scene import closest_point_query

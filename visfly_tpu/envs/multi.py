@@ -51,12 +51,15 @@ class MultiDroneGymEnv(DroneGymEnv):
         S, A = self.num_scene, self.num_agent_per_scene
         drone_pos = state.dyn.pos.reshape(S, A, 3)
         drone_rad = jnp.full((S, A), self.uav_radius, state.dyn.pos.dtype)
+        # drone-body gray — the reference renders DJI-Mavic glbs
+        drone_col = jnp.full((S, A, 3), 110.0, state.dyn.pos.dtype)
         parent = super().render_objects(state)
         if parent is None:
-            return drone_pos, drone_rad
-        obj_pos, obj_rad = parent
+            return drone_pos, drone_rad, drone_col
+        obj_pos, obj_rad, obj_col = parent
         return (jnp.concatenate([obj_pos, drone_pos], axis=1),
-                jnp.concatenate([obj_rad, drone_rad], axis=1))
+                jnp.concatenate([obj_rad, drone_rad], axis=1),
+                jnp.concatenate([obj_col, drone_col], axis=1))
 
     def _update_collision(self, dyn: DynState, once: Array, objects=(),
                           scene=None) -> Tuple[CollisionInfo, Array]:

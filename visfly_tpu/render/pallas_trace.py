@@ -70,7 +70,7 @@ def prepare_kernel_scene(scene: PrimitiveScene,
     else:
         boxes, capsules = scene.boxes, scene.capsules
     if objects is not None:
-        obj_pos, obj_radius = objects  # (S, M, 3), (S, M)
+        obj_pos, obj_radius = objects[0], objects[1]  # (S, M, 3), (S, M)
         m = obj_pos.shape[1]
         # active flag 2.0 marks DYNAMIC capsules: only these get origin-inside
         # self-exclusion in the kernel (a drone must not see its own body);

@@ -345,7 +345,7 @@ def trace_grouped(
     if objects is None:
         return jax.vmap(lambda prm, o, d, t0: fn(prm, o, d, None, None, t0))(
             scene.params, origins, dirs, t_init)
-    obj_pos, obj_radius = objects
+    obj_pos, obj_radius = objects[0], objects[1]
     return jax.vmap(fn)(scene.params, origins, dirs, obj_pos, obj_radius,
                         t_init)
 
@@ -365,7 +365,7 @@ def trace_cones_grouped(
             prm, o, d, tg, None, None, n_steps, max_depth, eps
         )
         return jax.vmap(fn)(scene.params, origins, dirs, tan)
-    obj_pos, obj_radius = objects
+    obj_pos, obj_radius = objects[0], objects[1]
     fn = lambda prm, o, d, tg, op, orad: _trace_cones_one_scene(
         prm, o, d, tg, op, orad, n_steps, max_depth, eps
     )
@@ -383,8 +383,13 @@ def _object_sphere_hits(objects, o, d, max_depth):
     grid backends), matching the primitive kernels' composition. Spheres
     containing a ray's origin are excluded (a drone's own body — the same
     self-exclusion rule as `prepare_kernel_scene`'s dynamic capsules).
-    Returns (t (S, R) — BIG where no hit, hit (S, R), normal (S, R, 3))."""
-    obj_pos, obj_radius = objects
+    Returns (t (S, R) — BIG where no hit, hit (S, R), normal (S, R, 3),
+    color (S, R, 3) f32 — the winning object's albedo, 0 where none)."""
+    obj_pos, obj_radius = objects[0], objects[1]
+    if len(objects) > 2 and objects[2] is not None:
+        obj_color = objects[2].astype(o.dtype)
+    else:
+        obj_color = jnp.full(obj_pos.shape, 110.0, o.dtype)
     t0 = jnp.full(o.shape[:2], BIG, o.dtype)
     n0 = jnp.zeros_like(o)
 
@@ -392,8 +397,8 @@ def _object_sphere_hits(objects, o, d, max_depth):
     # emits M copies — at swarm scale, hundreds — bloating compile; a fully
     # batched (S, M, R) form costs M× the ray arrays in HBM)
     def body(carry, obj):
-        t, n = carry
-        c, r = obj  # (S, 3), (S,)
+        t, n, col = carry
+        c, r, oc_ = obj  # (S, 3), (S,), (S, 3)
         c = c[:, None]
         r = r[:, None]
         e = c - o
@@ -408,12 +413,14 @@ def _object_sphere_hits(objects, o, d, max_depth):
         p = o + d * tm[..., None]
         nm = (p - c) / jnp.maximum(r[..., None], 1e-9)
         n = jnp.where(better[..., None], nm, n)
-        return (jnp.minimum(t, tm), n), None
+        col = jnp.where(better[..., None], oc_[:, None], col)
+        return (jnp.minimum(t, tm), n, col), None
 
-    (t, n), _ = jax.lax.scan(
-        body, (t0, n0),
-        (obj_pos.transpose(1, 0, 2), obj_radius.transpose(1, 0)))
-    return t, t < max_depth, n
+    (t, n, col), _ = jax.lax.scan(
+        body, (t0, n0, jnp.zeros_like(o)),
+        (obj_pos.transpose(1, 0, 2), obj_radius.transpose(1, 0),
+         obj_color.transpose(1, 0, 2)))
+    return t, t < max_depth, n, col
 
 
 def trace_rays(
@@ -502,23 +509,28 @@ def _shade_primitive_indexed(
     ~K× cheaper than :func:`_shade_primitive` — no per-pixel all-K distance
     pass, just one-hot row selection (MXU) + the closed-form normal.
     Pixels whose winner is a dynamic object (kid −1) have no row in the
-    color/semantic tables and shade to 0 (the reference renders imported
-    drone models there; primitive scenes have no such asset)."""
+    color/semantic tables: they shade drone-body gray (the reference
+    renders imported DJI-Mavic glbs there, `SceneManager.py:252-254`) with
+    the reserved semantic id 255."""
     dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
     def per_scene(params, colors, semantic, pts, hit_s, kid_s):
         K = params.shape[0]
+        dyn_px = kid_s < 0
         onehot = (kid_s[:, None] == jnp.arange(K, dtype=kid_s.dtype)).astype(
             pts.dtype
         )
         if want == "semantic":
             sem = dot(onehot, semantic.astype(pts.dtype))
+            sem = jnp.where(dyn_px, 255.0, sem)
             return jnp.where(hit_s, sem, 0.0)
         albedo = dot(onehot, colors)  # (R, 3)
+        albedo = jnp.where(dyn_px[:, None], 110.0, albedo)
         prow = dot(onehot, params)  # (R, 12)
         n = prim_normal_single(prow, pts)
         lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
-        shade = 0.35 + 0.65 * lam
+        # dynamic pixels have no primitive row for a normal — flat shade
+        shade = jnp.where(dyn_px, 0.75, 0.35 + 0.65 * lam)
         return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)
 
     return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic,
@@ -732,24 +744,32 @@ def render_camera(
         o_c3 = jnp.transpose(o_g3, (2, 0, 1))
         d_c3 = jnp.transpose(d_g3, (2, 0, 1))
         use_pallas_tri = (jax.default_backend() == "tpu" and Rs % 1024 == 0)
-        t, hit, normal = tri_trace_diff(
+        t, hit, normal, tri_gid = tri_trace_diff(
             tri, o_c3, d_c3, max_depth,
             int(spec.get("tri_cap", default_tri_cap(tri.shape[1]))),
             W if (use_pallas_tri and (H * W) % 1024 == 0) else None,
-            use_pallas_tri)
+            use_pallas_tri,
+            H * W if (use_pallas_tri and (H * W) % 1024 == 0) else None,
+            # backface culling: exact for watertight consistently-wound
+            # meshes (and habitat's GL default); opt-in per sensor because
+            # open/soup geometry would lose its far side
+            bool(spec.get("tri_backface", False)))
         t = checkpoint_name(t, "pallas_render")
         hit = checkpoint_name(hit, "pallas_render")
         normal = checkpoint_name(normal, "pallas_render")
+        tri_gid = checkpoint_name(tri_gid, "pallas_render")
         # dynamic objects (other drones, moving obstacles) composed as
         # analytic spheres — same visibility as the primitive kernels
         obj_px = jnp.zeros_like(hit)
+        obj_col = None
         if objects is not None:
-            t_o, hit_o, n_o = _object_sphere_hits(objects, o_g3, d_g3,
-                                                  max_depth)
+            t_o, hit_o, n_o, c_o = _object_sphere_hits(objects, o_g3, d_g3,
+                                                       max_depth)
             obj_px = hit_o & (t_o < t)  # tri t is max_depth on misses
             normal = jnp.where(obj_px[..., None], n_o, normal)
             t = jnp.where(obj_px, t_o, t)
             hit = hit | obj_px
+            obj_col = c_o
         t_img = t.reshape(n, H, W)
         hit_img = hit.reshape(n, H, W)
         if stype == "depth":
@@ -768,15 +788,64 @@ def render_camera(
         lin = ((sid_f * X + g[..., 0]) * Y + g[..., 1]) * Z + g[..., 2]
         if stype == "semantic":
             sem = jnp.take(data.semantic.reshape(-1), lin)
-            sem = jnp.where(hit_f & ~obj_f, sem, 0).reshape(n, H, W)
+            # dynamic-object pixels get the reserved id 255 (the grids
+            # carry no row for runtime operands)
+            sem = jnp.where(hit_f & ~obj_f, sem, 0)
+            sem = jnp.where(hit_f & obj_f, 255, sem).reshape(n, H, W)
             return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
-        albedo = jnp.take(data.albedo.reshape(-1, 3), lin, axis=0).astype(
-            jnp.float32)
+        tri_uv = getattr(data, "tri_uv", ())
+        if getattr(tri_uv, "ndim", 0) == 3:
+            # TEXTURED path: UV-interpolate the winning triangle's corner
+            # texcoords at the hit's barycentrics and sample the stacked
+            # atlas (nearest texel, wrap) — the habitat GL texture pipeline
+            # (`SceneManager.py:1013-1035`) re-expressed as two gathers
+            gid_f = tri_gid.reshape(S, Rs)
+            rows = jnp.take_along_axis(tri, gid_f[..., None], axis=1)
+            uv3 = jnp.take_along_axis(tri_uv, gid_f[..., None], axis=1)
+            rect = jnp.take_along_axis(data.tri_rect, gid_f[..., None],
+                                       axis=1)
+            p3 = (o_g3 + d_g3 * t[..., None])
+            va = rows[..., 0:3]
+            v0 = rows[..., 3:6] - va
+            v1 = rows[..., 6:9] - va
+            v2 = p3 - va
+            d00 = jnp.sum(v0 * v0, -1)
+            d01 = jnp.sum(v0 * v1, -1)
+            d11 = jnp.sum(v1 * v1, -1)
+            d20 = jnp.sum(v2 * v0, -1)
+            d21 = jnp.sum(v2 * v1, -1)
+            den = d00 * d11 - d01 * d01
+            den = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+            bu = (d11 * d20 - d01 * d21) / den
+            bv = (d00 * d21 - d01 * d20) / den
+            uv = (uv3[..., 0:2] * (1.0 - bu - bv)[..., None]
+                  + uv3[..., 2:4] * bu[..., None]
+                  + uv3[..., 4:6] * bv[..., None])
+            uv = uv - jnp.floor(uv)  # glTF REPEAT wrap
+            tw, th = rect[..., 0], rect[..., 1]
+            col = jnp.clip(jnp.round(uv[..., 0] * (tw - 1.0)), 0,
+                           jnp.maximum(tw - 1.0, 0.0)) + rect[..., 3]
+            row = jnp.clip(jnp.round(uv[..., 1] * (th - 1.0)), 0,
+                           jnp.maximum(th - 1.0, 0.0)) + rect[..., 2]
+            AH, AW = data.atlas.shape[1], data.atlas.shape[2]
+            lin_t = ((jnp.arange(S)[:, None] * AH
+                      + row.astype(jnp.int32)) * AW
+                     + col.astype(jnp.int32)).reshape(-1)
+            albedo = jnp.take(data.atlas.reshape(-1, 3), lin_t,
+                              axis=0).astype(jnp.float32)
+        else:
+            albedo = jnp.take(data.albedo.reshape(-1, 3), lin,
+                              axis=0).astype(jnp.float32)
+        if obj_col is not None:
+            # dynamic-object pixels shade with the OBJECT's albedo — the
+            # reference renders its DJI-Mavic glbs through the same GL
+            # pass (`SceneManager.py:252-254`); previously these shaded 0
+            albedo = jnp.where(obj_f[:, None], obj_col.reshape(-1, 3),
+                               albedo)
         lam = jnp.maximum(
             jnp.sum(normal.reshape(-1, 3) * _LIGHT_DIR, -1), 0.0)
         rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
-        rgb = jnp.where((hit_f & ~obj_f)[:, None], rgb, 0.0).reshape(
-            n, H, W, 3)
+        rgb = jnp.where(hit_f[:, None], rgb, 0.0).reshape(n, H, W, 3)
         return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
     # grid backend (meshes): flat batch with per-ray scene ids
@@ -787,15 +856,17 @@ def render_camera(
     t, hit = trace_rays(data, flat_sid, flat_o, flat_d, n_steps, max_depth)
 
     obj_flat = jnp.zeros_like(hit)
+    obj_col_g = None
     if objects is not None:
         S_g = data.sdf.shape[0] if num_scene is None else num_scene
-        t_o, hit_o, _ = _object_sphere_hits(
+        t_o, hit_o, _, c_o = _object_sphere_hits(
             objects, flat_o.reshape(S_g, R // S_g, 3),
             flat_d.reshape(S_g, R // S_g, 3), max_depth)
         t_o, hit_o = t_o.reshape(R), hit_o.reshape(R)
         obj_flat = hit_o & (t_o < t)
         t = jnp.where(obj_flat, t_o, t)
         hit = hit | obj_flat
+        obj_col_g = c_o.reshape(R, 3)
 
     if stype == "depth":
         depth = jnp.where(hit.reshape(n, H, W), t.reshape(n, H, W) * cos_f, max_depth)
@@ -809,16 +880,19 @@ def render_camera(
 
     if stype == "semantic":
         sem = jnp.take(data.semantic.reshape(-1), lin)
-        sem = jnp.where(hit & ~obj_flat, sem, 0).reshape(n, H, W)
+        sem = jnp.where(hit & ~obj_flat, sem, 0)
+        sem = jnp.where(hit & obj_flat, 255, sem).reshape(n, H, W)
         return {"semantic": sem[:, None, :, :].astype(jnp.uint8)}
 
     from ..scene.queries import sdf_normal
 
     albedo = jnp.take(data.albedo.reshape(-1, 3), lin, axis=0).astype(jnp.float32)
+    if obj_col_g is not None:
+        albedo = jnp.where(obj_flat[:, None], obj_col_g, albedo)
     normal = sdf_normal(data, flat_sid, p_hit)
     lam = jnp.maximum(jnp.sum(normal * _LIGHT_DIR, -1), 0.0)
     rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
-    rgb = jnp.where((hit & ~obj_flat)[:, None], rgb, 0.0).reshape(n, H, W, 3)
+    rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(n, H, W, 3)
     return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
 

@@ -173,9 +173,10 @@ _MESH_CACHE: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _load_asset(config_path: str, kind: str):
-    """Stage/object config JSON → (verts, faces, base_scale, asset_color)
-    in the asset's habitat-local frame. Raw meshes are cached per asset file
-    (objects repeat across instances/scenes)."""
+    """Stage/object config JSON → (verts, faces, base_scale, asset_color,
+    texinfo) in the asset's habitat-local frame. Raw meshes are cached per
+    asset file (objects repeat across instances/scenes). ``texinfo`` is the
+    :func:`mesh.load_glb_textured` dict for textured GLBs, else None."""
     cfg = _read_json(config_path)
     asset = cfg.get("render_asset") or cfg.get("collision_asset")
     if asset is None:
@@ -183,22 +184,28 @@ def _load_asset(config_path: str, kind: str):
     mesh_path = os.path.normpath(
         os.path.join(os.path.dirname(config_path), asset))
     if mesh_path not in _MESH_CACHE:
-        from .mesh import load_mesh, mesh_base_color
+        from .mesh import load_glb_textured, load_mesh, mesh_base_color
 
-        _MESH_CACHE[mesh_path] = load_mesh(mesh_path) + (
-            mesh_base_color(mesh_path),)
-    verts, faces, color = _MESH_CACHE[mesh_path]
+        if mesh_path.endswith((".glb", ".gltf")):
+            verts, faces, texinfo = load_glb_textured(mesh_path)
+        else:
+            verts, faces = load_mesh(mesh_path)
+            texinfo = None
+        _MESH_CACHE[mesh_path] = (verts, faces,
+                                  mesh_base_color(mesh_path), texinfo)
+    verts, faces, color, texinfo = _MESH_CACHE[mesh_path]
     scale = np.asarray(cfg.get("scale", [1.0, 1.0, 1.0]), np.float64)
     if scale.ndim == 0:
         scale = np.full(3, float(scale))
-    return verts, faces, scale, color
+    return verts, faces, scale, color, texinfo
 
 
 def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str):
-    """One stage/object instance → (verts_std, faces, asset_color) in the
-    z-up frame (asset_color (3,) uint8 or None — material base color)."""
+    """One stage/object instance → (verts_std, faces, asset_color,
+    texinfo) in the z-up frame (asset_color (3,) uint8 or None — material
+    base color)."""
     cfg_path = dataset.resolve_template(inst["template_name"], kind)
-    verts, faces, base_scale, color = _load_asset(cfg_path, kind)
+    verts, faces, base_scale, color, texinfo = _load_asset(cfg_path, kind)
     v = np.asarray(verts, np.float64) * base_scale
     s = inst.get("non_uniform_scale")
     if s is None and "uniform_scale" in inst:
@@ -209,13 +216,14 @@ def _instance_world_verts(dataset: HabitatDataset, inst: dict, kind: str):
         v = v @ _quat_to_mat(inst["rotation"]).T
     if "translation" in inst:
         v = v + np.asarray(inst["translation"], np.float64)
-    return (v @ _H2S).astype(np.float32), faces, color
+    return (v @ _H2S).astype(np.float32), faces, color, texinfo
 
 
 def load_habitat_scene_mesh(
     scene_instance_path: str,
     dataset: Optional[HabitatDataset] = None,
     return_instances: bool = False,
+    return_textures: bool = False,
 ):
     """One scene instance → merged std-frame triangle soup:
     (verts, faces, stage_bounds). With ``return_instances`` two more arrays
@@ -238,22 +246,48 @@ def load_habitat_scene_mesh(
     face_ids: List[np.ndarray] = []
     asset_colors: Dict[int, Optional[np.ndarray]] = {}
     stage_bounds = None
+    # merged texture registry: per-asset texinfo images are appended once
+    # (instances of the same asset share them) and face `tex` ids remapped
+    mrg_uv: List[np.ndarray] = []
+    mrg_tex: List[np.ndarray] = []
+    mrg_images: List[np.ndarray] = []
+    image_base: Dict[int, int] = {}  # id(texinfo) → offset into mrg_images
+    flat_slot: Dict[bytes, int] = {}
 
-    def add(v, f, iid, color):
+    def add(v, f, iid, color, texinfo=None):
         base = sum(len(x) for x in all_v)
         all_v.append(v)
         all_f.append(np.asarray(f, np.int64) + base)
         face_ids.append(np.full(len(f), iid, np.int32))
         asset_colors[iid] = color
+        if not return_textures:
+            return
+        if texinfo is not None:
+            key = id(texinfo)
+            if key not in image_base:
+                image_base[key] = len(mrg_images)
+                mrg_images.extend(texinfo["images"])
+            mrg_uv.append(texinfo["uv"])
+            mrg_tex.append(texinfo["tex"] + image_base[key])
+        else:
+            # untextured instance: a shared 1×1 texel of its flat color
+            c = (np.asarray(color, np.uint8) if color is not None
+                 else np.asarray([180, 180, 180], np.uint8))
+            ck = c.tobytes()
+            if ck not in flat_slot:
+                flat_slot[ck] = len(mrg_images)
+                mrg_images.append(c.reshape(1, 1, 3))
+            mrg_uv.append(np.full((len(f), 3, 2), 0.5, np.float32))
+            mrg_tex.append(np.full(len(f), flat_slot[ck], np.int32))
 
     stage = inst_cfg.get("stage_instance")
     if stage is not None and stage.get("template_name", "NONE") != "NONE":
-        v, f, col = _instance_world_verts(dataset, stage, "stage")
-        add(v, f, 0, col)
+        v, f, col, ti = _instance_world_verts(dataset, stage, "stage")
+        add(v, f, 0, col, ti)
         stage_bounds = (v.min(axis=0), v.max(axis=0))
     for k, inst in enumerate(inst_cfg.get("object_instances", [])):
-        v, f, col = _instance_world_verts(dataset, inst, "object")
-        add(v, f, k + 1, col)
+        v, f, col, ti = _instance_world_verts(dataset, inst, "object")
+        add(v, f, k + 1, col, ti)
 
     if not all_v:
         raise ValueError(f"{scene_instance_path}: empty scene instance")
@@ -269,7 +303,12 @@ def load_habitat_scene_mesh(
         for iid, c in asset_colors.items():
             if c is not None:
                 colors[iid] = c
-        return out + (np.concatenate(face_ids, axis=0), colors)
+        out = out + (np.concatenate(face_ids, axis=0), colors)
+    if return_textures:
+        texinfo = {"uv": np.concatenate(mrg_uv),
+                   "tex": np.concatenate(mrg_tex),
+                   "images": mrg_images}
+        out = out + (texinfo,)
     return out
 
 

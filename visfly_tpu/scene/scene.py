@@ -295,9 +295,17 @@ class SceneData(NamedTuple):
     spacing: Any
     bbox: Any
     # optional EXACT geometry: (S, T, 9) padded triangle soup
-    # [ax ay az bx by bz cx cy cz] — when present, cameras can ray-trace the
-    # true mesh (render/tri_trace.py) while collision queries keep the grid
+    # [ax ay az bx by bz cx cy cz] — when present, cameras ray-trace the
+    # true mesh (render/tri_trace.py) and collision queries answer exactly
+    # (scene/queries.py::tri_closest_point)
     triangles: Any = ()
+    # optional TEXTURES for the exact-tri backend (empty tuples when the
+    # asset has none): per-packed-face UV corners (S, T, 6), atlas rects
+    # (S, T, 4) [tw th y0 x0] texels, and the stacked atlas (S, AH, AW, 3)
+    # uint8 — habitat renders these through GL (`SceneManager.py:1013-1035`)
+    tri_uv: Any = ()
+    tri_rect: Any = ()
+    atlas: Any = ()
 
     @property
     def num_scene(self):
@@ -508,9 +516,11 @@ def load_scenes_for_env(env):
             # semantic grid + material/palette albedo (habitat's
             # per-instance semantic sensor)
             loaded = [load_habitat_scene_mesh(f, env._habitat_dataset,
-                                              return_instances=True)
+                                              return_instances=True,
+                                              return_textures=True)
                       for f in files]
-            meshes = [(v, fc, inst, cols) for v, fc, _b, inst, cols in loaded]
+            meshes = [(v, fc, inst, cols, tex)
+                      for v, fc, _b, inst, cols, tex in loaded]
             return bake_scenes_from_meshes(
                 meshes, spacing=kw.get("sdf_spacing", 0.1),
                 margin=kw.get("margin", 0.5),
