@@ -28,6 +28,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def report_cache_state():
+    """Cold-start honesty (stderr): warm-vs-cold cache and the expected
+    wait — 5.5 s warm vs ~42 s compile, up to 449 s on a slow
+    remote-compile lane (README "Cold-compile cost")."""
+    import contextlib
+    import io
+
+    from visfly_tpu.utils.common import setup_compile_cache
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        setup_compile_cache()
+    log(buf.getvalue().strip())
+
+
 def rollout_fps(env, n_chunks=6, chunk=32, warmup=1):
     state, _ = env.reset(jax.random.PRNGKey(0))
     n = env.num_envs
@@ -68,6 +83,7 @@ def main():
     from visfly_tpu.envs import HoverEnv, NavigationEnv
 
     log(f"devices: {jax.devices()}")
+    report_cache_state()
 
     # 1. headline: 256 agents, cluttered scene, 64×64 depth every step
     env = NavigationEnv(

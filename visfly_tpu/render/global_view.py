@@ -136,20 +136,41 @@ def render_global(
     position=None,
     trajectory: bool = False,
     traj_history: Optional[np.ndarray] = None,  # (T, N, 3)
+    velocity: bool = False,
+    collision: bool = False,
+    approaching: bool = False,
+    axes: bool = False,
     line_width: float = 2.0,
     hfov: float = 90.0,
     n_steps: int = 48,
     **_ignored,
 ) -> np.ndarray:
     """One (H, W, 3) uint8 frame. ``mode='follow'`` tracks the agents'
-    centroid; ``'fix'`` uses the static view/position."""
+    centroid; ``'object'`` tracks the first dynamic object
+    (`SceneManager.py:687-706`); ``'fix'`` uses the static view/position.
+    Debug overlays mirror the reference's line renderer
+    (`SceneManager.py:585-645`): ``velocity`` draws the last-10-segment
+    motion trail, ``collision`` a line from each agent to its closest
+    obstacle point, ``approaching`` a distance-coloured line to the
+    velocity-direction scene hit, ``axes`` each agent's body frame."""
     H, W = int(resolution[0]), int(resolution[1])
     pos = np.asarray(state.dyn.pos)
     focus = pos.mean(axis=0)
+    if mode == "object":
+        if getattr(state, "objects", ()) != () and not isinstance(
+                state.objects, tuple):
+            focus = np.asarray(state.objects.pos)[0]
+        else:
+            mode = "follow"  # no dynamic objects: degrade gracefully
     bbox = np.asarray(env.bbox)
     eye, lookat = _camera_pose(view, bbox, focus, position)
-    if mode == "follow":
+    if mode in ("follow", "object"):
         lookat = focus
+        if position is None and view in ("top", "side"):
+            # tracking modes keep the configured offset but re-aim
+            eye = np.asarray(focus) + (np.asarray(eye) - np.asarray(lookat)
+                                       if view != "top"
+                                       else np.asarray([0.0, 1e-3, 6.0]))
     q = _look_at_quat(np.asarray(eye, np.float64), np.asarray(lookat, np.float64))
 
     spec = {"sensor_type": "color", "resolution": [H, W], "hfov": hfov,
@@ -163,12 +184,55 @@ def render_global(
     )["color"]
     img = np.ascontiguousarray(np.transpose(np.asarray(frame)[0], (1, 2, 0)))
 
-    # trajectory polylines (`SceneManager.py:514-700` debug lines)
+    # trajectory polylines (`SceneManager.py:595-603` debug lines)
     if trajectory and traj_history is not None:
         for i in range(traj_history.shape[1]):
             px = _project(np.asarray(traj_history[:, i]), eye, q, hfov, (H, W))
             _draw_polyline(img, px, _AGENT_COLORS[i % len(_AGENT_COLORS)],
                            int(line_width))
+
+    # velocity trail: only the LAST 10 trajectory segments, drawn brighter
+    # (`SceneManager.py:605-614` — recent motion without full history)
+    if velocity and traj_history is not None:
+        tail = np.asarray(traj_history[-11:])
+        for i in range(tail.shape[1]):
+            px = _project(tail[:, i], eye, q, hfov, (H, W))
+            c = np.minimum(_AGENT_COLORS[i % len(_AGENT_COLORS)] * 1.5,
+                           255).astype(np.uint8)
+            _draw_polyline(img, px, c, int(line_width) + 1)
+
+    # collision lines: agent → closest obstacle point, fixed warning color
+    # (`SceneManager.py:616-628`)
+    if collision and getattr(state, "collision", None) is not None:
+        cpts = np.asarray(state.collision.point)
+        for i in range(pos.shape[0]):
+            seg = _project(np.stack([pos[i], cpts[i]]), eye, q, hfov, (H, W))
+            _draw_polyline(img, seg, np.asarray([255, 40, 40], np.uint8),
+                           int(line_width))
+
+    # approaching lines: agent → scene hit along the velocity direction,
+    # colour fading with distance (`SceneManager.py:630-644`)
+    if approaching:
+        apts = np.asarray(env.approaching_point(state))
+        for i in range(pos.shape[0]):
+            d = min(float(np.linalg.norm(apts[i] - pos[i])) / 10.0, 1.0)
+            c = ((1 - d) * np.asarray([60, 250, 60])
+                 + d * np.asarray([250, 250, 250])).astype(np.uint8)
+            seg = _project(np.stack([pos[i], apts[i]]), eye, q, hfov, (H, W))
+            _draw_polyline(img, seg, c, int(line_width))
+
+    # body axes (`SceneManager.py:537-551,585-593`): x red, y green, z blue
+    if axes:
+        from ..core import quaternion as quat
+
+        R = np.asarray(quat.to_rotation_matrix(state.dyn.q))  # (N, 3, 3)
+        for i in range(pos.shape[0]):
+            for ax, c in ((0, [255, 60, 60]), (1, [60, 255, 60]),
+                          (2, [80, 80, 255])):
+                tip = pos[i] + R[i, :, ax] * (1.0 if ax == 0 else 0.5)
+                seg = _project(np.stack([pos[i], tip]), eye, q, hfov, (H, W))
+                _draw_polyline(img, seg, np.asarray(c, np.uint8),
+                               max(int(line_width) - 1, 1))
 
     # drone markers
     px = _project(pos, eye, q, hfov, (H, W))

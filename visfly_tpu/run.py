@@ -53,6 +53,9 @@ def parse_args(default_env: str = "cluttered_flight"):
 def main(default_env: str = "cluttered_flight") -> None:
     args = parse_args(default_env).parse_args()
     set_seed(args.seed)
+    from visfly_tpu.utils.common import setup_compile_cache
+
+    setup_compile_cache()
 
     base_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "exps")
     save_folder = os.path.join(os.getcwd(), "saved", args.env)

@@ -63,3 +63,31 @@ def rgba2rgb(img: np.ndarray) -> np.ndarray:
 
 def obs_list2array(obs_list, *shape):
     return np.stack([np.asarray(o) for o in obs_list]).reshape(*shape)
+
+
+def setup_compile_cache(verbose: bool = True) -> None:
+    """Enable the repo-local persistent XLA compile cache and SAY whether
+    it is warm. Identical programs measured 5.5 s (warm) vs ~42 s compile
+    — and up to 449 s end-to-end on a slow remote-compile lane — so a
+    silent first call looks like a hang. The reference pays no compile
+    (eager torch + prebuilt habitat); being loud about ours is the
+    TPU-native next-best thing."""
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not verbose:
+        return
+    try:
+        n = len([f for f in os.listdir(d) if not f.startswith(".")])
+    except OSError:
+        n = 0
+    if n:
+        print(f"compile cache: WARM ({n} entries) — first step in seconds",
+              flush=True)
+    else:
+        print("compile cache: COLD — expect ~40 s program compile (slow "
+              "remote-compile lanes can stretch the first call to several "
+              "minutes); later runs hit the cache.", flush=True)
