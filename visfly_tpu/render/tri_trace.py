@@ -4,11 +4,11 @@ The reference renders imported habitat stages as exact triangle geometry
 through habitat-sim's rasteriser (`/root/reference/utils/SceneManager.py:
 371-389,893-929`). Here the same capability is TPU-native: a fused Pallas
 kernel intersects each camera-tile's rays against a per-tile CULLED,
-COMPACTED triangle list (one-hot matmul compaction — no gathers), with
-Möller–Trumbore closed-form hits and kernel-computed face normals. The
-mesh's baked SDF grid keeps serving collision queries (the reference's
-CGAL closest-point side), so only the camera sees exact geometry — the
-same split as habitat (GL render + CGAL queries).
+COMPACTED triangle list (one-hot matmul compaction — no gathers) in
+closed form; normals/materials follow from the kernel-reported winning
+triangle id. Collision queries are exact too (`scene/queries.py::
+tri_closest_point` — the reference's CGAL closest-point side), so BOTH
+halves of habitat's GL-render + CGAL-query split see true geometry.
 
 Backends:
 * ``tri_trace_xla`` — brute-force vmapped Möller–Trumbore (CPU/parity path,
