@@ -140,52 +140,76 @@ class SAC(TrainerMixin):
         )
 
         if train:
-            b_obs, b_next, b_act, b_rew, b_done = buffers.sample(
-                buf, k_samp, self.batch_size
-            )
-            alpha = jnp.exp(log_alpha)
+            # ``gradient_steps`` SGD steps per environment step batch,
+            # each on a fresh replay sample (SB3's gradient_steps loop,
+            # `SAC.py:120-146`) — scanned so the program stays one jit
+            def gstep(carry, k):
+                (actor_params, actor_opt, critic_params, critic_opt,
+                 critic_target, log_alpha, alpha_opt) = carry
+                k_samp, k_next, k_pi = jax.random.split(k, 3)
+                b_obs, b_next, b_act, b_rew, b_done = buffers.sample(
+                    buf, k_samp, self.batch_size
+                )
+                alpha = jnp.exp(log_alpha)
 
-            next_a, next_logp = self.actor.apply(actor_params, b_next, k_next)
-            q_next = self.critic.apply(critic_target, b_next, next_a)
-            target_q = b_rew + self.gamma * (~b_done) * (
-                jnp.min(q_next, -1) - alpha * next_logp
-            )
+                next_a, next_logp = self.actor.apply(actor_params, b_next,
+                                                     k_next)
+                q_next = self.critic.apply(critic_target, b_next, next_a)
+                target_q = b_rew + self.gamma * (~b_done) * (
+                    jnp.min(q_next, -1) - alpha * next_logp
+                )
 
-            def critic_loss_fn(p):
-                q = self.critic.apply(p, b_obs, b_act)
-                return jnp.mean((q - target_q[:, None]) ** 2)
+                def critic_loss_fn(p):
+                    q = self.critic.apply(p, b_obs, b_act)
+                    return jnp.mean((q - target_q[:, None]) ** 2)
 
-            c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic_params)
-            c_upd, critic_opt = self.critic_tx.update(c_grads, critic_opt, critic_params)
-            critic_params = optax.apply_updates(critic_params, c_upd)
+                c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(
+                    critic_params)
+                c_upd, critic_opt = self.critic_tx.update(
+                    c_grads, critic_opt, critic_params)
+                critic_params = optax.apply_updates(critic_params, c_upd)
 
-            def actor_loss_fn(p):
-                a, logp = self.actor.apply(p, b_obs, k_pi)
-                q = self.critic.apply(critic_params, b_obs, a)
-                return jnp.mean(alpha * logp - jnp.min(q, -1)), logp
+                def actor_loss_fn(p):
+                    a, logp = self.actor.apply(p, b_obs, k_pi)
+                    q = self.critic.apply(critic_params, b_obs, a)
+                    return jnp.mean(alpha * logp - jnp.min(q, -1)), logp
 
-            (a_loss, logp), a_grads = jax.value_and_grad(
-                actor_loss_fn, has_aux=True
-            )(actor_params)
-            a_upd, actor_opt = self.actor_tx.update(a_grads, actor_opt, actor_params)
-            actor_params = optax.apply_updates(actor_params, a_upd)
+                (a_loss, logp), a_grads = jax.value_and_grad(
+                    actor_loss_fn, has_aux=True
+                )(actor_params)
+                a_upd, actor_opt = self.actor_tx.update(
+                    a_grads, actor_opt, actor_params)
+                actor_params = optax.apply_updates(actor_params, a_upd)
 
-            if self.auto_ent:
-                def alpha_loss_fn(la):
-                    return -jnp.mean(
-                        la * jax.lax.stop_gradient(logp + self.target_entropy)
-                    )
+                if self.auto_ent:
+                    def alpha_loss_fn(la):
+                        return -jnp.mean(
+                            la * jax.lax.stop_gradient(
+                                logp + self.target_entropy)
+                        )
 
-                al_grads = jax.grad(alpha_loss_fn)(log_alpha)
-                al_upd, alpha_opt = self.alpha_tx.update(al_grads, alpha_opt, log_alpha)
-                log_alpha = optax.apply_updates(log_alpha, al_upd)
+                    al_grads = jax.grad(alpha_loss_fn)(log_alpha)
+                    al_upd, alpha_opt = self.alpha_tx.update(
+                        al_grads, alpha_opt, log_alpha)
+                    log_alpha = optax.apply_updates(log_alpha, al_upd)
 
-            critic_target = jax.tree_util.tree_map(
-                lambda t, s: (1 - self.tau) * t + self.tau * s,
-                critic_target, critic_params,
-            )
-            metrics["critic_loss"] = c_loss
-            metrics["actor_loss"] = a_loss
+                critic_target = jax.tree_util.tree_map(
+                    lambda t, s: (1 - self.tau) * t + self.tau * s,
+                    critic_target, critic_params,
+                )
+                return (actor_params, actor_opt, critic_params, critic_opt,
+                        critic_target, log_alpha, alpha_opt), (c_loss,
+                                                               a_loss)
+
+            carry0 = (actor_params, actor_opt, critic_params, critic_opt,
+                      critic_target, log_alpha, alpha_opt)
+            keys = jax.random.split(
+                jax.random.fold_in(k_samp, 1), self.gradient_steps)
+            (actor_params, actor_opt, critic_params, critic_opt,
+             critic_target, log_alpha, alpha_opt), (c_losses, a_losses) = \
+                jax.lax.scan(gstep, carry0, keys)
+            metrics["critic_loss"] = c_losses[-1]
+            metrics["actor_loss"] = a_losses[-1]
             metrics["alpha"] = jnp.exp(log_alpha)
 
         st = SACState(
