@@ -449,6 +449,26 @@ def load_scenes_for_env(env):
     path = kw.get("path", "box15_wall_empty")
     seed = kw.get("seed", env.seed)
 
+    # pre-baked scene injection: scene_kwargs={"data": SceneData} hands the
+    # env an already-baked scene (benchmarks, procedurally generated or
+    # externally converted geometry) — tiled across num_scene like the
+    # mesh-file branch
+    if "data" in kw:
+        data = kw["data"]
+        if getattr(data, "num_scene", env.num_scene) == 1 \
+                and env.num_scene > 1:
+            import jax.numpy as jnp
+
+            tri = data.triangles
+            data = data._replace(
+                sdf=jnp.tile(data.sdf, (env.num_scene, 1, 1, 1)),
+                albedo=jnp.tile(data.albedo, (env.num_scene, 1, 1, 1, 1)),
+                semantic=jnp.tile(data.semantic, (env.num_scene, 1, 1, 1)),
+                triangles=(jnp.tile(tri, (env.num_scene, 1, 1))
+                           if getattr(tri, "ndim", 0) == 3 else tri),
+            )
+        return data
+
     # imported mesh file (GLB/OBJ — the reference's habitat GLB stages,
     # `SceneManager.py:893-929`): by default decompose the baked SDF into
     # boxes so imported scenes run on the fast culled primitive kernel;
