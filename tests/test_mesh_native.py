@@ -515,3 +515,48 @@ def test_textured_glb_renders_checkerboard(tmp_path):
     assert flips >= 4, f"expected alternating cells, got {flips} flips"
     frac_dark = float((g < mid).mean())
     assert 0.2 < frac_dark < 0.8, "both cell colors must cover the wall"
+
+
+def test_tiled_scene_data_keeps_textures(tmp_path):
+    """ADVICE r4 (high): tiling a single-scene textured SceneData across the
+    scene axis must tile tri_uv/tri_rect/atlas too — the textured RGB path
+    indexes the stacked atlas by scene id, so an untiled atlas makes scenes
+    >= 1 read out of bounds and shade garbage. Scene 1 must render pixel-
+    identical to scene 0."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from visfly_tpu.render import render_camera
+    from visfly_tpu.scene.mesh import bake_mesh_scene
+    from visfly_tpu.scene.scene import _tile_scene_data
+
+    cells = (np.indices((8, 8)).sum(0) % 2) * 160 + 60
+    img = np.kron(cells, np.ones((8, 8), np.uint8)).astype(np.uint8)
+    img = np.stack([img] * 3, -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+
+    verts = np.asarray([[2, -2, -2], [2, 2, -2], [2, 2, 2], [2, -2, 2]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.uint32)
+    uvs = np.asarray([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    p = str(tmp_path / "checker.glb")
+    _write_glb_textured(p, verts, faces, uvs, buf.getvalue())
+
+    data = _tile_scene_data(bake_mesh_scene(p, spacing=0.25, margin=2.5), 2)
+    assert data.num_scene == 2
+    assert data.atlas.shape[0] == 2 and data.tri_uv.shape[0] == 2
+    assert data.tri_rect.shape[0] == 2
+
+    # one camera per scene, identical pose: scene 1 must shade identically
+    pos = jnp.asarray([[-0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+    cam = {"sensor_type": "color", "resolution": [32, 32]}
+    out = render_camera(data, jnp.asarray([0, 1], jnp.int32), pos, q, cam,
+                        max_depth=10.0)
+    r0 = np.asarray(out["color"][0])
+    r1 = np.asarray(out["color"][1])
+    assert r0.sum() > 0
+    np.testing.assert_array_equal(r0, r1)

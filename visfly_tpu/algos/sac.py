@@ -62,7 +62,13 @@ class SAC(TrainerMixin):
         self.tau = float(tau)
         self.gamma = float(gamma)
         self.train_freq = int(train_freq)
-        self.gradient_steps = int(gradient_steps)
+        # SB3 gradient_steps semantics (`off_policy_algorithm.py`): -1 means
+        # "as many gradient steps as env steps collected" (here: num_envs per
+        # train call), 0 means collect-only (skip training)
+        gs = int(gradient_steps)
+        if gs < -1:
+            raise ValueError(f"gradient_steps must be >= -1, got {gs}")
+        self.gradient_steps = env.num_envs if gs == -1 else gs
         self.learning_starts = int(learning_starts)
         self.auto_ent = ent_coef == "auto"
         self.target_entropy = -float(env.action_size)
@@ -139,7 +145,7 @@ class SAC(TrainerMixin):
             st.critic_target_params, st.log_alpha, st.alpha_opt
         )
 
-        if train:
+        if train and self.gradient_steps > 0:
             # ``gradient_steps`` SGD steps per environment step batch,
             # each on a fresh replay sample (SB3's gradient_steps loop,
             # `SAC.py:120-146`) — scanned so the program stays one jit

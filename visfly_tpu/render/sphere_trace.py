@@ -857,9 +857,10 @@ def render_camera(
 
     obj_flat = jnp.zeros_like(hit)
     obj_col_g = None
+    obj_nrm_g = None
     if objects is not None:
         S_g = data.sdf.shape[0] if num_scene is None else num_scene
-        t_o, hit_o, _, c_o = _object_sphere_hits(
+        t_o, hit_o, n_o, c_o = _object_sphere_hits(
             objects, flat_o.reshape(S_g, R // S_g, 3),
             flat_d.reshape(S_g, R // S_g, 3), max_depth)
         t_o, hit_o = t_o.reshape(R), hit_o.reshape(R)
@@ -867,6 +868,7 @@ def render_camera(
         t = jnp.where(obj_flat, t_o, t)
         hit = hit | obj_flat
         obj_col_g = c_o.reshape(R, 3)
+        obj_nrm_g = n_o.reshape(R, 3)
 
     if stype == "depth":
         depth = jnp.where(hit.reshape(n, H, W), t.reshape(n, H, W) * cos_f, max_depth)
@@ -890,6 +892,11 @@ def render_camera(
     if obj_col_g is not None:
         albedo = jnp.where(obj_flat[:, None], obj_col_g, albedo)
     normal = sdf_normal(data, flat_sid, p_hit)
+    if obj_nrm_g is not None:
+        # shade dynamic-object pixels with the SPHERE normal, not the
+        # scene SDF's gradient at the hit point (the tri backend already
+        # substitutes it — parity between backends)
+        normal = jnp.where(obj_flat[:, None], obj_nrm_g, normal)
     lam = jnp.maximum(jnp.sum(normal * _LIGHT_DIR, -1), 0.0)
     rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
     rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(n, H, W, 3)

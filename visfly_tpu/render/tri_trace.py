@@ -399,7 +399,13 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
         # padding/degenerate rows have n̂ = 0 → cos 0 → sinθ = 1 → the
         # cone covers everything and the cluster is never culled (safe)
         cos_min = jnp.sum(nt * nbar[:, :, None], -1).min(2)  # (S, C)
-        sin_max = jnp.sqrt(jnp.maximum(1.0 - cos_min * cos_min, 0.0))
+        # sinθ = sqrt(1−cos²) bounds the cone only for half-angles ≤ 90°;
+        # a cluster mixing opposing facings (cos_min < 0 — Morton facing-
+        # bucket boundaries, 2×CLUSTER soup grouping) exceeds a hemisphere,
+        # so force sinθ = 1 there (never cull such clusters)
+        sin_max = jnp.where(
+            cos_min <= 0.0, 1.0,
+            jnp.sqrt(jnp.maximum(1.0 - cos_min * cos_min, 0.0)))
         d = apex_t[:, :, None] - cen[:, None]                # (S, tiles, C, 3)
         # a cluster can show a front face iff some (origin o, surface
         # point x, normal n in cone) has n·(o − x) > 0; with x on its

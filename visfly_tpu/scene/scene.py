@@ -436,6 +436,32 @@ def generate_scene_dataset(out_dir: str, preset: str, count: int,
     return paths
 
 
+def _tile_scene_data(data: "SceneData", num_scene: int) -> "SceneData":
+    """Tile a single-scene SceneData across the scene axis.
+
+    Tiles EVERY per-scene leaf — including the texture tables (tri_uv,
+    tri_rect, atlas): the textured-RGB path indexes the stacked atlas by
+    scene id, so leaving those untiled makes scenes >= 1 read out of
+    bounds and shade garbage."""
+    import jax.numpy as jnp
+
+    def tile(x):
+        if getattr(x, "ndim", 0) == 0 or isinstance(x, tuple):
+            return x
+        return jnp.tile(x, (num_scene,) + (1,) * (x.ndim - 1))
+
+    tri = data.triangles
+    return data._replace(
+        sdf=tile(data.sdf),
+        albedo=tile(data.albedo),
+        semantic=tile(data.semantic),
+        triangles=(tile(tri) if getattr(tri, "ndim", 0) == 3 else tri),
+        tri_uv=tile(data.tri_uv),
+        tri_rect=tile(data.tri_rect),
+        atlas=tile(data.atlas),
+    )
+
+
 def load_scenes_for_env(env):
     """Build the device scene from an env's scene_kwargs (reference
     ``SceneManager.load_scenes``, `SceneManager.py:826-891`).
@@ -457,16 +483,7 @@ def load_scenes_for_env(env):
         data = kw["data"]
         if getattr(data, "num_scene", env.num_scene) == 1 \
                 and env.num_scene > 1:
-            import jax.numpy as jnp
-
-            tri = data.triangles
-            data = data._replace(
-                sdf=jnp.tile(data.sdf, (env.num_scene, 1, 1, 1)),
-                albedo=jnp.tile(data.albedo, (env.num_scene, 1, 1, 1, 1)),
-                semantic=jnp.tile(data.semantic, (env.num_scene, 1, 1, 1)),
-                triangles=(jnp.tile(tri, (env.num_scene, 1, 1))
-                           if getattr(tri, "ndim", 0) == 3 else tri),
-            )
+            data = _tile_scene_data(data, env.num_scene)
         return data
 
     # imported mesh file (GLB/OBJ — the reference's habitat GLB stages,
@@ -481,16 +498,7 @@ def load_scenes_for_env(env):
             data = bake_mesh_scene(path, spacing=kw.get("sdf_spacing", 0.1),
                                    margin=kw.get("margin", 0.5))
             if env.num_scene > 1:
-                import jax.numpy as jnp
-
-                tri = data.triangles
-                data = data._replace(
-                    sdf=jnp.tile(data.sdf, (env.num_scene, 1, 1, 1)),
-                    albedo=jnp.tile(data.albedo, (env.num_scene, 1, 1, 1, 1)),
-                    semantic=jnp.tile(data.semantic, (env.num_scene, 1, 1, 1)),
-                    triangles=(jnp.tile(tri, (env.num_scene, 1, 1))
-                               if getattr(tri, "ndim", 0) == 3 else tri),
-                )
+                data = _tile_scene_data(data, env.num_scene)
             return data
         from .decompose import decompose_mesh_scene
 
