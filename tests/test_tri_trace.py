@@ -480,3 +480,40 @@ def test_dynamic_objects_are_colored_in_rgb():
                         {"sensor_type": "semantic", "resolution": [32, 32]},
                         max_depth=10.0, objects=objects)["semantic"]
     assert int(np.asarray(sem)[0, 0, 16, 16]) == 255
+
+
+def test_camsoup_v2_matches_v1(interpret_pallas, monkeypatch):
+    """Merged-operand camsoup kernel (`_tri_trace_pallas_camsoup_v2`):
+    identical t/hit/gid to the reference camsoup implementation on a real
+    camera workload."""
+    import visfly_tpu.render.tri_trace as tt
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+
+    verts, faces = [], []
+    for i in range(8):
+        for j in range(8):
+            for k in range(3):
+                v, f = cube_mesh((i * 2.0 + 2.0, j * 2.0 - 8.0, k * 2.0),
+                                 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+    packed = pack_triangles(np.concatenate(verts), np.concatenate(faces))
+    tris = jnp.asarray(packed[None])
+
+    spec = {"sensor_type": "depth", "resolution": [64, 64]}
+    pos = jnp.asarray([[-2.03, 0.011, 1.017]])
+    q = quat.from_euler(jnp.zeros(1), jnp.asarray([0.013]),
+                        jnp.asarray([0.021]))
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 1, 64 * 64))
+    d_full = d_c.reshape(3, 1, -1)
+
+    kw = dict(max_depth=20.0, cap=tris.shape[1], img_w=64,
+              cam_rays=64 * 64)
+    t1, h1, n1, g1 = tt._tri_trace_pallas_camsoup(tris, o_full, d_full, **kw)
+    t2, h2, n2, g2 = tt._tri_trace_pallas_camsoup_v2(tris, o_full, d_full,
+                                                     **kw)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

@@ -97,7 +97,10 @@ class MultiDroneGymEnv(DroneGymEnv):
 
 class MultiNavigationEnv(MultiDroneGymEnv):
     """Swarm navigation: each agent observes the other agents' states
-    (`MultiNavigationEnv.py:77-103`)."""
+    (`MultiNavigationEnv.py:77-103`). With ``scene_kwargs={"is_find_path":
+    True}`` every reset plans a collision-free PRM waypoint path per agent
+    to its target, exposed as ``.path``
+    (`MultiNavigationEnv.py:56-75`)."""
 
     def __init__(self, *args, target: Optional[Array] = None,
                  sensor_kwargs=None, max_episode_steps: int = 256, **kwargs):
@@ -118,6 +121,39 @@ class MultiNavigationEnv(MultiDroneGymEnv):
         else:
             self.target = jnp.asarray(target, self.dtype)
         self.success_radius = 0.5
+        # PRM path hints (`MultiNavigationEnv.py:56-58`): host-side plan
+        # per reset — guidance for controllers/visualisation, not part of
+        # the jitted step
+        self.is_find_path = bool(
+            dict(kwargs.get("scene_kwargs") or {}).get("is_find_path", False))
+        self._paths = [None] * self.num_envs
+
+    @property
+    def path(self):
+        """Per-agent PRM waypoint lists from the latest reset
+        (`MultiNavigationEnv.py:73-75`); ``None`` entries where planning
+        is off or no path was found."""
+        return self._paths
+
+    def reset(self, key=None, state=None):
+        st, obs = super().reset(key, state)
+        if self.is_find_path:
+            from ..utils.path_finder import find_paths
+
+            self._paths = find_paths(self, st.dyn.pos, self.target)
+        return st, obs
+
+    def reset_env_by_id(self, state: EnvState, scene_id: int) -> EnvState:
+        st = super().reset_env_by_id(state, scene_id)
+        if self.is_find_path:
+            from ..utils.path_finder import find_paths
+
+            A = self.num_agent_per_scene
+            idx = range(scene_id * A, (scene_id + 1) * A)
+            for i, p in zip(idx, find_paths(self, st.dyn.pos, self.target,
+                                            indices=idx)):
+                self._paths[i] = p
+        return st
 
     def get_observation(self, state: EnvState, sensor_obs) -> Dict[str, Array]:
         s = self.state_obs(state)

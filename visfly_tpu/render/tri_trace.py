@@ -973,6 +973,59 @@ def _tri_kernel_camsoup(nch_ref, lb_ref, cid_ref, pg_ref,
         hit_ref[0, 0] = (t < max_depth).astype(jnp.float32)
 
 
+def _tri_kernel_camsoup2(nch_ref, lb_ref, cid_ref, pg_ref, d_ref, out_ref,
+                         *, chunk: int, n_chunks: int, max_depth: float,
+                         cluster: int):
+    """Merged-operand variant of `_tri_kernel_camsoup`: the three ray-
+    direction streams arrive as ONE (3, ROWS, LANES) block and t/gid leave
+    as ONE (2, ROWS, LANES) block (hit is derived outside as t < max_depth).
+    Rationale: each grid step pays a scalar-core prologue that evaluates
+    EVERY operand's index map (SMEM loads + arithmetic + revisit checks);
+    at 45-180 chunks x 1024 tiles that bookkeeping — not the intersection
+    math — was the measured wall (~0.5 us/step). 3 block operands instead
+    of 7 cuts the prologue roughly in half."""
+    si, ti = pl.program_id(0), pl.program_id(1)
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _init():
+        out_ref[0, 0, 0] = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        out_ref[0, 0, 1] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+    worst = jnp.minimum(jnp.max(out_ref[0, 0, 0]), max_depth)
+
+    @pl.when((ci < nch_ref[si, ti])
+             & (lb_ref[si, ti * n_chunks + ci] < worst))
+    def _body():
+        dx, dy, dz = d_ref[0, 0, 0], d_ref[0, 0, 1], d_ref[0, 0, 2]
+        cid = cid_ref[si, ti * n_chunks + ci]
+        base = (cid * cluster).astype(jnp.float32)
+        tbest = out_ref[0, 0, 0]
+        gbest = out_ref[0, 0, 1]
+        for j in range(chunk):
+            def Pg(c):
+                return pg_ref[0, 0, 0, j, c]
+
+            w0 = dx * Pg(0) + dy * Pg(1) + dz * Pg(2)
+            w1 = dx * Pg(3) + dy * Pg(4) + dz * Pg(5)
+            w2 = dx * Pg(6) + dy * Pg(7) + dz * Pg(8)
+            wsum = w0 + w1 + w2
+            ok = ((w0 * w1 >= 0.0) & (w0 * w2 >= 0.0)
+                  & (w1 * w2 >= 0.0))
+            tk = Pg(9) * (1.0 / wsum)
+            ok = ok & (tk > 1e-4)
+            tk = jnp.where(ok, tk, BIG)
+            better = tk < tbest
+            gbest = jnp.where(better, base + float(j), gbest)
+            tbest = jnp.where(better, tk, tbest)
+        out_ref[0, 0, 0] = tbest
+        out_ref[0, 0, 1] = gbest
+
+    @pl.when(ci == n_chunks - 1)
+    def _finalise():
+        out_ref[0, 0, 0] = jnp.clip(out_ref[0, 0, 0], 0.0, max_depth)
+
+
 def _tri_trace_pallas_camsoup(tris: Array, origins_c: Array, dirs_c: Array,
                               max_depth: float, cap: int, img_w: int,
                               cam_rays: int, backface: bool = False
@@ -1050,6 +1103,81 @@ def _tri_trace_pallas_camsoup(tris: Array, origins_c: Array, dirs_c: Array,
     t = t.reshape(S, R)
     hit = hit.reshape(S, R) > 0.5
     gid = gid.reshape(S, R).astype(jnp.int32)
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
+
+
+def _tri_trace_pallas_camsoup_v2(tris: Array, origins_c: Array,
+                                 dirs_c: Array, max_depth: float, cap: int,
+                                 img_w: int, cam_rays: int,
+                                 backface: bool = False
+                                 ) -> Tuple[Array, Array, Array]:
+    """Merged-operand camsoup (see `_tri_kernel_camsoup2`): identical math
+    and prepass, 3 block operands instead of 7."""
+    _, S, R = origins_c.shape
+    T = tris.shape[1]
+    tiles = R // TILE
+    tpc = cam_rays // TILE
+    sg = jax.lax.stop_gradient
+    cids, counts, lb_c, cluster = _cluster_ids_prepass(
+        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w, backface)
+    n_chunks = cids.shape[2]
+    nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
+    cams = R // cam_rays
+    cam_o = sg(origins_c).reshape(3, S, cams, cam_rays)[..., 0]
+    pages = _sv_pages(tris, cam_o.transpose(1, 2, 0), cluster)
+
+    groups = 1
+    while S * (tiles // groups) * n_chunks * 4 > 256 * 1024 \
+            and groups < tiles // tpc:
+        groups += 1
+        while (tiles // tpc) % groups:
+            groups += 1
+    gt = tiles // groups
+    gc = cams // groups
+
+    # ONE (3, ROWS, LANES) direction block per tile
+    d3 = dirs_c.reshape(3, S, tiles, ROWS, LANES).transpose(1, 2, 0, 3, 4)
+
+    ray_spec = pl.BlockSpec((1, 1, 3, ROWS, LANES),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, 2, ROWS, LANES),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec(
+        (1, 1, 1, cluster, 10),
+        lambda s, i, c, nch, lbc, cid: (
+            s, i // tpc,
+            cid[s, i * n_chunks + jnp.minimum(c, nch[s, i] - 1)],
+            0, 0),
+        memory_space=pltpu.SMEM)
+    out_sds = jax.ShapeDtypeStruct((S, gt, 2, ROWS, LANES), jnp.float32)
+
+    pages, nch, lb_c, cids = jax.lax.optimization_barrier(
+        (pages, nch, lb_c, cids))
+    kernel = functools.partial(_tri_kernel_camsoup2, chunk=cluster,
+                               n_chunks=n_chunks, max_depth=max_depth,
+                               cluster=cluster)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, gt, n_chunks),
+        in_specs=[pg_spec, ray_spec],
+        out_specs=[out_spec],
+    )
+    call = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=[out_sds])
+    parts = []
+    for g in range(groups):
+        tl = slice(g * gt, (g + 1) * gt)
+        parts.append(call(
+            nch[:, tl], lb_c[:, tl].reshape(S, gt * n_chunks),
+            cids[:, tl].reshape(S, gt * n_chunks),
+            pages[:, g * gc:(g + 1) * gc], d3[:, tl])[0])
+    out = jnp.concatenate(parts, axis=1)
+
+    t = out[:, :, 0].reshape(S, R)
+    gid = out[:, :, 1].reshape(S, R).astype(jnp.int32)
+    hit = t < max_depth
     n = _normals_from_gid(tris, gid, dirs_c, hit)
     return t, hit, n, gid
 
