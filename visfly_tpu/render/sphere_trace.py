@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..scene.prim_scene import (
@@ -38,6 +39,75 @@ from .camera import camera_rays
 DEFAULT_MAX_DEPTH = 20.0  # background value (`droneEnv.py:306`)
 BIG = 1e9
 _LIGHT_DIR = jnp.asarray([0.33798, 0.24142, 0.90966])  # normalised
+
+
+def bake_lighting(cfg) -> Optional[tuple]:
+    """Habitat-style lighting setup → device arrays for :func:`lambert_shade`.
+
+    The reference selects per-scene lighting configs (habitat LightInfo
+    lists: point/directional lights with color·intensity vectors) written
+    into scene JSONs (`/root/reference/utils/datasets/datasets.py:232-252`,
+    habitat `default_lighting` keys). Here the equivalent surface is
+    ``scene_kwargs={"lighting": {...}}``:
+
+        {"ambient": 0.35,
+         "attenuation": 0.0,          # point lights: 1/(1 + a·d²)
+         "lights": [
+            {"type": "directional", "direction": [x, y, z],
+             "color": [1, 1, 1], "intensity": 0.65},
+            {"type": "point", "position": [x, y, z],
+             "color": [1.0, 0.9, 0.8], "intensity": 2.0},
+         ]}
+
+    Returns (kind (L,) f32 — 0 directional / 1 point, vec (L, 3) —
+    TO-light unit direction or position, color (L, 3) color·intensity,
+    ambient (), attenuation ()); ``None`` when cfg is falsy (the default
+    single fixed directional light — all golden tests unchanged)."""
+    if not cfg:
+        return None
+    lights = cfg.get("lights", ())
+    kind, vec, col = [], [], []
+    for li in lights:
+        ty = str(li.get("type", "directional")).lower()
+        c = np.asarray(li.get("color", [1.0, 1.0, 1.0]), np.float32)
+        c = c * float(li.get("intensity", 1.0))
+        if ty.startswith("dir"):
+            d = np.asarray(li["direction"], np.float32)
+            d = -d / max(float(np.linalg.norm(d)), 1e-9)  # surface → light
+            kind.append(0.0)
+            vec.append(d)
+        elif ty == "point":
+            kind.append(1.0)
+            vec.append(np.asarray(li["position"], np.float32))
+        else:
+            raise ValueError(f"unknown light type {ty!r}")
+        col.append(c)
+    L = max(len(kind), 1)
+    if not kind:  # ambient-only setup
+        kind, vec, col = [0.0], [np.zeros(3, np.float32)], [np.zeros(3, np.float32)]
+    return (jnp.asarray(kind, jnp.float32).reshape(L),
+            jnp.asarray(np.stack(vec), jnp.float32).reshape(L, 3),
+            jnp.asarray(np.stack(col), jnp.float32).reshape(L, 3),
+            jnp.float32(cfg.get("ambient", 0.35)),
+            jnp.float32(cfg.get("attenuation", 0.0)))
+
+
+def lambert_shade(n: Array, p: Array, lighting) -> Array:
+    """Lambertian shade multiplier (..., 3) from normal ``n`` and hit point
+    ``p`` (both (..., 3)). ``lighting=None`` reproduces the historic fixed
+    ``0.35 + 0.65·max(n·L, 0)`` single directional light exactly."""
+    if lighting is None:
+        lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
+        return jnp.broadcast_to((0.35 + 0.65 * lam)[..., None],
+                                (*lam.shape, 3))
+    kind, vec, col, ambient, atten = lighting
+    to = vec - p[..., None, :]                      # (..., L, 3) point light
+    d2 = jnp.sum(to * to, -1)
+    l_pt = to * jax.lax.rsqrt(jnp.maximum(d2, 1e-12))[..., None]
+    l = jnp.where(kind[:, None] > 0.5, l_pt, vec)   # (..., L, 3)
+    lam = jnp.maximum(jnp.sum(n[..., None, :] * l, -1), 0.0)  # (..., L)
+    w = jnp.where(kind > 0.5, 1.0 / (1.0 + atten * d2), 1.0)
+    return ambient + jnp.sum((lam * w)[..., None] * col, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +536,7 @@ def _shade_primitive(
     p_hit: Array,  # (S, R, 3)
     hit: Array,  # (S, R)
     want: str,
+    lighting=None,
 ) -> Array:
     """Color/semantic via one-hot matmul over the per-scene primitive tables
     (MXU-friendly; no gathers)."""
@@ -491,9 +562,8 @@ def _shade_primitive(
         # normal itself is closed-form (test_prim_normal_single_matches_grad).
         prow = dot(onehot, params)  # (R, 12)
         n = prim_normal_single(prow, pts)
-        lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
-        shade = 0.35 + 0.65 * lam
-        return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)
+        shade = lambert_shade(n, pts, lighting)
+        return jnp.where(hit_s[:, None], albedo * shade, 0.0)
 
     return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic, p_hit, hit)
 
@@ -504,6 +574,7 @@ def _shade_primitive_indexed(
     hit: Array,  # (S, R)
     kid: Array,  # (S, R) winning primitive id from the kernel (−1 = none)
     want: str,
+    lighting=None,
 ) -> Array:
     """Shading when the trace kernel already reported the winning primitive:
     ~K× cheaper than :func:`_shade_primitive` — no per-pixel all-K distance
@@ -528,10 +599,10 @@ def _shade_primitive_indexed(
         albedo = jnp.where(dyn_px[:, None], 110.0, albedo)
         prow = dot(onehot, params)  # (R, 12)
         n = prim_normal_single(prow, pts)
-        lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
+        shade = lambert_shade(n, pts, lighting)
         # dynamic pixels have no primitive row for a normal — flat shade
-        shade = jnp.where(dyn_px, 0.75, 0.35 + 0.65 * lam)
-        return jnp.where(hit_s[:, None], albedo * shade[:, None], 0.0)
+        shade = jnp.where(dyn_px[:, None], 0.75, shade)
+        return jnp.where(hit_s[:, None], albedo * shade, 0.0)
 
     return jax.vmap(per_scene)(scene.params, scene.colors, scene.semantic,
                                p_hit, hit, kid)
@@ -547,6 +618,7 @@ def render_camera(
     max_depth: float = DEFAULT_MAX_DEPTH,
     objects=None,
     num_scene: Optional[int] = None,
+    lighting=None,
 ) -> Dict[str, Array]:
     """Render one sensor for N agents. Output layouts match the reference
     observation pipeline (`droneEnv.py:296-333`):
@@ -628,9 +700,9 @@ def render_camera(
                 # the kernel reported the winning primitive — shading skips
                 # the per-pixel all-K distance pass entirely
                 shaded = _shade_primitive_indexed(data, p_hit, hit, kid,
-                                                  stype)
+                                                  stype, lighting)
             else:
-                shaded = _shade_primitive(data, p_hit, hit, stype)
+                shaded = _shade_primitive(data, p_hit, hit, stype, lighting)
             if stype == "semantic":
                 sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
                 return {"semantic": sem[:, None, :, :]}
@@ -716,7 +788,7 @@ def render_camera(
             depth = jnp.where(hit_flat, t_flat * cos_f, max_depth)
             return {"depth": depth[:, None, :, :]}
         p_hit = o_g + d_g * t[..., None]
-        shaded = _shade_primitive(data, p_hit, hit, stype)
+        shaded = _shade_primitive(data, p_hit, hit, stype, lighting)
         if stype == "semantic":
             sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
             return {"semantic": sem[:, None, :, :]}
@@ -842,9 +914,8 @@ def render_camera(
             # pass (`SceneManager.py:252-254`); previously these shaded 0
             albedo = jnp.where(obj_f[:, None], obj_col.reshape(-1, 3),
                                albedo)
-        lam = jnp.maximum(
-            jnp.sum(normal.reshape(-1, 3) * _LIGHT_DIR, -1), 0.0)
-        rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
+        shade = lambert_shade(normal.reshape(-1, 3), p_hit3, lighting)
+        rgb = jnp.clip(albedo * shade, 0, 255)
         rgb = jnp.where(hit_f[:, None], rgb, 0.0).reshape(n, H, W, 3)
         return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
@@ -897,8 +968,8 @@ def render_camera(
         # scene SDF's gradient at the hit point (the tri backend already
         # substitutes it — parity between backends)
         normal = jnp.where(obj_flat[:, None], obj_nrm_g, normal)
-    lam = jnp.maximum(jnp.sum(normal * _LIGHT_DIR, -1), 0.0)
-    rgb = jnp.clip(albedo * (0.35 + 0.65 * lam)[:, None], 0, 255)
+    shade = lambert_shade(normal, p_hit, lighting)
+    rgb = jnp.clip(albedo * shade, 0, 255)
     rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(n, H, W, 3)
     return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
 
@@ -915,6 +986,11 @@ def render_sensors(env, state) -> Dict[str, Array]:
     sid = env._scene_ids()
     objects = env.render_objects(state)
     noise_settings = getattr(env, "noise_settings", None) or {}
+    # habitat lighting setup from scene_kwargs (baked once per env)
+    lighting = getattr(env, "_baked_lighting", False)
+    if lighting is False:
+        lighting = bake_lighting(env.scene_kwargs.get("lighting"))
+        env._baked_lighting = lighting
     for i, spec in enumerate(env.sensor_kwargs):
         res = render_camera(
             scene,
@@ -925,6 +1001,7 @@ def render_sensors(env, state) -> Dict[str, Array]:
             n_steps=int(env.scene_kwargs.get("trace_steps", 40)),
             objects=objects,
             num_scene=env.num_scene,
+            lighting=lighting,
         )
         for k, v in res.items():
             uuid = spec.get("uuid", k)
