@@ -56,6 +56,9 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--backface", action="store_true")
     p.add_argument("--cluster", type=int, default=0)
+    p.add_argument("--budgets", type=int, nargs="+", default=[0],
+                   help="worklist work_budget values (0 = auto default)")
+    p.add_argument("--worklist-only", action="store_true")
     args = p.parse_args()
 
     if args.cluster:
@@ -112,6 +115,20 @@ def main():
                 tris, o + eps, d, 20.0, cap, bw, HW, args.backface)
             return t[0, 0] + n[0, 0, 0]
 
+        def full_wl(budget):
+            def f(o, d, eps):
+                t, hit, n, gid = tt._tri_trace_pallas_worklist(
+                    tris, o + eps, d, 20.0, cap, bw, HW, args.backface,
+                    work_budget=budget)
+                return t[0, 0] + n[0, 0, 0]
+            return f
+
+        if args.worklist_only:
+            for budget in args.budgets:
+                timed(full_wl(budget or None), (o_sq, d_sq), args.iters,
+                      f"worklist budget={budget or 'auto'}")
+            continue
+
         dt_pre = timed(prepass, (o_sq, d_sq), args.iters, "cluster-ids prepass")
         dt_pg = timed(pages, (o_sq, d_sq), args.iters, "sv pages build")
         dt_full = timed(full, (o_sq, d_sq), args.iters, "camsoup full (v1)")
@@ -120,6 +137,9 @@ def main():
               f"{(dt_full - dt_pre - dt_pg) * 1e3:.2f} ms", flush=True)
         print(f"  kernel-ish v2 (full - pre - pages): "
               f"{(dt_v2 - dt_pre - dt_pg) * 1e3:.2f} ms", flush=True)
+        for budget in args.budgets:
+            timed(full_wl(budget or None), (o_sq, d_sq), args.iters,
+                  f"worklist budget={budget or 'auto'}")
 
 
 if __name__ == "__main__":

@@ -517,3 +517,54 @@ def test_camsoup_v2_matches_v1(interpret_pallas, monkeypatch):
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_worklist_path_matches_xla(interpret_pallas):
+    """Flattened-worklist dense-mesh path (`_tri_trace_pallas_worklist`):
+    16-triangle cluster culling, prefix-sum flattened grid, gathered
+    contiguous signed-volume pages. With the budget covering every chunk
+    the image must equal brute force."""
+    import visfly_tpu.render.tri_trace as tt
+    from visfly_tpu.core import quaternion as quat
+    from visfly_tpu.render.camera import camera_rays_components
+
+    verts, faces = [], []
+    for i in range(8):
+        for j in range(8):
+            for k in range(3):
+                v, f = cube_mesh((i * 2.0 + 2.0, j * 2.0 - 8.0, k * 2.0),
+                                 0.4)
+                faces.append(f + 8 * len(verts))
+                verts.append(v)
+    packed = pack_triangles(np.concatenate(verts), np.concatenate(faces))
+    tris = jnp.asarray(packed[None])
+
+    spec = {"sensor_type": "depth", "resolution": [64, 64]}
+    pos = jnp.asarray([[-2.03, 0.011, 1.017]])
+    q = quat.from_euler(jnp.zeros(1), jnp.asarray([0.013]),
+                        jnp.asarray([0.021]))
+    o_c, d_c, _ = camera_rays_components(spec, pos, q)
+    o_full = jnp.broadcast_to(o_c[:, :, None], (3, 1, 64 * 64))
+    d_full = d_c.reshape(3, 1, -1)
+
+    t_x, hit_x, n_x, *_ = tri_trace_xla(
+        tris, jnp.transpose(o_full, (1, 2, 0)),
+        jnp.transpose(d_full, (1, 2, 0)))
+
+    # budget covering every chunk: must equal brute force exactly
+    t_p, hit_p, n_p, g_p = tt._tri_trace_pallas_worklist(
+        tris, o_full, d_full, 20.0, tris.shape[1], 64, 64 * 64,
+        work_budget=10 ** 6)
+    assert int((np.asarray(hit_p) != np.asarray(hit_x)).sum()) == 0
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=1e-3)
+    both = np.asarray(hit_p) & np.asarray(hit_x)
+    nd = np.abs(np.asarray(n_p) - np.asarray(n_x)).max(-1)[both]
+    assert nd.max() < 1e-4
+
+    # under-budget: the overflow CONTRACT — dropped chunks are each tile's
+    # farthest, so depth only ever increases (far field -> background),
+    # never a spurious nearer hit
+    t_p, hit_p, _, _ = tt._tri_trace_pallas_worklist(
+        tris, o_full, d_full, 20.0, tris.shape[1], 64, 64 * 64,
+        work_budget=8)
+    assert bool((np.asarray(t_p) >= np.asarray(t_x) - 1e-3).all())

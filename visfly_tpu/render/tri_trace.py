@@ -1182,6 +1182,257 @@ def _tri_trace_pallas_camsoup_v2(tris: Array, origins_c: Array,
     return t, hit, n, gid
 
 
+# ---------------------------------------------------------------------------
+# worklist kernel — dense meshes, whole-camera tiles (round 5)
+# ---------------------------------------------------------------------------
+#
+# The camsoup grid pays for every (tile, chunk) slot whether the tile needs
+# it or not: measured on v5e at 23k triangles, 46,080 grid steps cost a
+# 17.4 ms dispatch floor (0.38 us/step with merged operands), ~36 ms of
+# per-chunk 5 KB SMEM page DMAs, and ~34 ms of vector math — while only
+# 32.7k chunks were real work at CLUSTER=128 granularity, and only ~15k at
+# 16-triangle granularity. This path fixes all three terms at once:
+#  * cull at 16-triangle clusters (2.3x less body work than 128 — the
+#    AABB/cone slop shrinks with the cluster)
+#  * flatten (tile, chunk) into ONE grid axis sized by the PREFIX SUM of
+#    per-tile chunk quotas — dead steps do not exist; the static budget
+#    (`work_budget` chunks/tile average) is met by proportional
+#    nearest-first truncation of over-budget tiles (the same overflow
+#    contract as `cap`: far field -> background, never a missing near hit)
+#  * gather each scheduled chunk's 128 signed-volume rows CONTIGUOUSLY in
+#    worklist order, so the kernel's page DMA is one sequential stream
+
+WL_CLUSTER = 16   # cull granularity (swept 16/32/64: rows/tile 1807 /
+#                   2399 / 3243 on the 23k garage with backface)
+WL_CHUNK = 128    # kernel rows per worklist entry
+
+
+def _tri_kernel_worklist(wmeta_ref, lb_ref, wpg_ref, pg_ref, d_ref, out_ref,
+                         *, chunk: int, max_depth: float):
+    """One worklist entry: intersect this entry's tile rays with its
+    ``chunk`` gathered signed-volume rows. ``wmeta`` packs the tile index
+    (bits 0-19), a first-entry-of-tile bit (20) and last-entry bit (21);
+    entries are tile-contiguous so the revisited output block carries the
+    running min-t across a tile's entries and is finalised exactly once.
+    Padding entries carry lb = BIG (body skipped) and a payload index
+    clamped to the last real entry (revisit -> no DMA)."""
+    si, ei = pl.program_id(0), pl.program_id(1)
+    m = wmeta_ref[si, ei]
+
+    @pl.when((m // (2 ** 20)) % 2 == 1)
+    def _init():
+        out_ref[0, 0, 0] = jnp.full((ROWS, LANES), BIG, jnp.float32)
+        out_ref[0, 0, 1] = jnp.zeros((ROWS, LANES), jnp.float32)
+
+    worst = jnp.minimum(jnp.max(out_ref[0, 0, 0]), max_depth)
+
+    @pl.when(lb_ref[si, ei] < worst)
+    def _body():
+        dx, dy, dz = d_ref[0, 0, 0], d_ref[0, 0, 1], d_ref[0, 0, 2]
+        base = (ei * chunk).astype(jnp.float32)  # slot base (exact < 2^24)
+        tbest = out_ref[0, 0, 0]
+        gbest = out_ref[0, 0, 1]
+        for j in range(chunk):
+            def Pg(c):
+                return pg_ref[0, 0, j, c]
+
+            w0 = dx * Pg(0) + dy * Pg(1) + dz * Pg(2)
+            w1 = dx * Pg(3) + dy * Pg(4) + dz * Pg(5)
+            w2 = dx * Pg(6) + dy * Pg(7) + dz * Pg(8)
+            wsum = w0 + w1 + w2
+            ok = ((w0 * w1 >= 0.0) & (w0 * w2 >= 0.0)
+                  & (w1 * w2 >= 0.0))
+            tk = Pg(9) * (1.0 / wsum)
+            ok = ok & (tk > 1e-4)
+            tk = jnp.where(ok, tk, BIG)
+            better = tk < tbest
+            gbest = jnp.where(better, base + float(j), gbest)
+            tbest = jnp.where(better, tk, tbest)
+        out_ref[0, 0, 0] = tbest
+        out_ref[0, 0, 1] = gbest
+
+    @pl.when(m // (2 ** 21) == 1)
+    def _finalise():
+        out_ref[0, 0, 0] = jnp.clip(out_ref[0, 0, 0], 0.0, max_depth)
+
+
+def _tri_trace_pallas_worklist(tris: Array, origins_c: Array, dirs_c: Array,
+                               max_depth: float, cap: int, img_w: int,
+                               cam_rays: int, backface: bool = False,
+                               work_budget: Optional[int] = None
+                               ) -> Tuple[Array, Array, Array, Array]:
+    """Dense-mesh camera path on a flattened per-tile worklist (module
+    header). ``work_budget`` is the static average chunks-per-tile grid
+    budget; default n_chunks//3 keeps typical frames untruncated (measured
+    mean occupancy: 15/45 chunks at 23k tris, 32/180 at 92k with
+    backface). Size it per scene with :func:`cull_stats`."""
+    _, S, R = origins_c.shape
+    T = tris.shape[1]
+    tiles = R // TILE
+    cluster = WL_CLUSTER
+    chunk = WL_CHUNK
+    G = chunk // cluster
+    C = T // cluster
+    sg = jax.lax.stop_gradient
+    o_sg, d_sg = sg(origins_c), sg(dirs_c)
+
+    o4 = o_sg.reshape(3, S, tiles, TILE)
+    d4 = d_sg.reshape(3, S, tiles, TILE)
+    lo = (o4.min(-1) + max_depth * jnp.minimum(d4.min(-1), 0.0)
+          ).transpose(1, 2, 0)
+    hi = (o4.max(-1) + max_depth * jnp.maximum(d4.max(-1), 0.0)
+          ).transpose(1, 2, 0)
+    active, dist, lb_all = _cluster_activity(
+        tris, o_sg, d_sg, max_depth, lo, hi, img_w, cluster=cluster,
+        backface=backface)
+
+    cap_c = max(1, min(cap, T) // cluster)
+    cap_c = -(-cap_c // G) * G
+    cap_c = min(cap_c, -(-C // G) * G)
+    n_chunks = cap_c // G
+
+    key = jnp.where(active, dist, jnp.inf)
+    _nk, cids = jax.lax.top_k(-key, min(cap_c, C))  # ascending distance
+    if cap_c > C:  # cap exceeds cluster count: pad the id table
+        cids = jnp.pad(cids, ((0, 0), (0, 0), (0, cap_c - C)))
+    cids = cids.astype(jnp.int32)
+    counts = jnp.minimum(active.sum(-1), cap_c).astype(jnp.int32)
+    in_count = jnp.arange(cap_c) < counts[..., None]
+    lb_c = jnp.take_along_axis(lb_all, cids, axis=-1)
+    lb_c = jnp.where(in_count, lb_c, BIG)
+    lb_ch = lb_c.reshape(S, tiles, n_chunks, G).min(-1)
+    cnt_ch = jnp.clip(-(-counts // G), 1, n_chunks)
+
+    # static grid budget; SMEM holds 3 prefetch arrays of S*NW i32/f32 —
+    # group tiles so each call's arrays stay <= ~256 KB
+    W = work_budget or max(8, n_chunks // 3)
+    W = min(W, n_chunks)
+    groups = 1
+    while S * (tiles // groups) * W * 12 > 256 * 1024 \
+            and groups < tiles:
+        groups += 1
+        while tiles % groups:
+            groups += 1
+    gtiles = tiles // groups
+    NW = gtiles * W
+
+    def build_worklist(cnt_ch_g, lb_ch_g):
+        """(S, gtiles) chunk counts -> flattened tile-contiguous worklist
+        (all (S, NW)): packed meta, per-entry lb, payload index, tile id,
+        within-tile chunk id, validity."""
+        free = NW - gtiles
+        extra = (cnt_ch_g - 1).astype(jnp.float32)
+        scale = jnp.minimum(
+            1.0, free / jnp.maximum(extra.sum(-1, keepdims=True), 1.0))
+        quota = 1 + jnp.floor(extra * scale).astype(jnp.int32)
+        starts = jnp.cumsum(quota, axis=-1) - quota  # exclusive
+        tot = starts[:, -1] + quota[:, -1]           # (S,)
+        e = jnp.arange(NW)
+        tile_of = jax.vmap(
+            lambda st: jnp.searchsorted(st, e, side="right") - 1)(starts)
+        within = e[None] - jnp.take_along_axis(starts, tile_of, axis=-1)
+        valid = e[None] < tot[:, None]
+        within_c = jnp.minimum(within, n_chunks - 1)
+        first = (within == 0).astype(jnp.int32)
+        nxt = jnp.concatenate(
+            [tile_of[:, 1:], jnp.full((S, 1), -1, tile_of.dtype)], axis=-1)
+        last = (nxt != tile_of).astype(jnp.int32)
+        wmeta = tile_of + first * 2 ** 20 + last * 2 ** 21
+        lb_w = jnp.where(
+            valid,
+            jnp.take_along_axis(
+                lb_ch_g.reshape(S, gtiles * n_chunks),
+                tile_of * n_chunks + within_c, axis=-1),
+            BIG)
+        wpg = jnp.where(valid, e[None], tot[:, None] - 1).astype(jnp.int32)
+        return (wmeta.astype(jnp.int32), lb_w, wpg, tile_of, within_c,
+                valid)
+
+    soup = tris.reshape(S, C, cluster * 9)
+    o_t = o4[..., 0].transpose(1, 2, 0)  # (S, tiles, 3) tile origins
+
+    d3 = dirs_c.reshape(3, S, tiles, ROWS, LANES).transpose(1, 2, 0, 3, 4)
+
+    ray_spec = pl.BlockSpec(
+        (1, 1, 3, ROWS, LANES),
+        lambda s, e, meta, lbw, pgi: (s, meta[s, e] % (2 ** 20), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, 1, 2, ROWS, LANES),
+        lambda s, e, meta, lbw, pgi: (s, meta[s, e] % (2 ** 20), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec(
+        (1, 1, chunk, 10),
+        lambda s, e, meta, lbw, pgi: (s, pgi[s, e], 0, 0),
+        memory_space=pltpu.SMEM)
+    out_sds = jax.ShapeDtypeStruct((S, gtiles, 2, ROWS, LANES), jnp.float32)
+
+    kernel = functools.partial(_tri_kernel_worklist, chunk=chunk,
+                               max_depth=max_depth)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, NW),
+        in_specs=[pg_spec, ray_spec],
+        out_specs=[out_spec],
+    )
+    call = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=[out_sds])
+
+    t_parts, g_parts = [], []
+    for g in range(groups):
+        tl = slice(g * gtiles, (g + 1) * gtiles)
+        wmeta, lb_w, wpg, tile_of, within_c, valid = build_worklist(
+            cnt_ch[:, tl], lb_ch[:, tl])
+        # gather each entry's G cluster pages -> (S, NW, chunk, 9) rows
+        idx_g = ((tile_of * cap_c + within_c * G)[..., None]
+                 + jnp.arange(G)[None, None]).reshape(S, NW * G)
+        cl_e = jnp.take_along_axis(
+            cids[:, tl].reshape(S, gtiles * cap_c), idx_g,
+            axis=-1).reshape(S, NW, G)
+        rows = jnp.take_along_axis(
+            soup[:, :, None], cl_e.reshape(S, -1)[..., None, None], axis=1
+        ).reshape(S, NW, G, cluster, 9)
+        slot = within_c[..., None] * G + jnp.arange(G)[None, None]
+        live = (slot < jnp.take_along_axis(
+            counts[:, tl], tile_of, axis=-1)[..., None]) & valid[..., None]
+        rows = rows.reshape(S, NW, chunk, 9)
+        # signed-volume payload against the entry's tile origin
+        o_e = jnp.take_along_axis(o_t[:, tl], tile_of[..., None], axis=1)
+        o_e = o_e[:, :, None]                             # (S, NW, 1, 3)
+        a_ = rows[..., 0:3] - o_e
+        b_ = rows[..., 3:6] - o_e
+        c_ = rows[..., 6:9] - o_e
+        g0 = jnp.cross(b_, c_)
+        g1 = jnp.cross(c_, a_)
+        g2 = jnp.cross(a_, b_)
+        kt = jnp.sum(a_ * g0, -1, keepdims=True)
+        pages = jnp.concatenate([g0, g1, g2, kt], -1)     # (S, NW, chunk, 10)
+        # neutralise rows past the tile's cluster count (top_k tail ids
+        # are arbitrary) and padding entries. Mask the PAGES, not the raw
+        # rows: a zeroed row still yields a_=b_=c_=-o, and cross(v, v)
+        # under FMA contraction is NOT exactly zero — the ~1e-10 residue
+        # aliases as same-signed volumes and produced spurious near hits.
+        # All-zero pages give w=0, kt=0 -> tk = 0*(1/0) = NaN, never a hit.
+        live_r = jnp.repeat(live, cluster, axis=-1)       # (S, NW, chunk)
+        pages = jnp.where(live_r[..., None], pages, 0.0)
+
+        pages, wmeta, lb_w, wpg = jax.lax.optimization_barrier(
+            (pages, wmeta, lb_w, wpg))
+        out = call(wmeta, lb_w, wpg, pages, d3[:, tl])[0]
+        t_parts.append(out[:, :, 0])
+        # slot -> global triangle id: slot = e*chunk + j indexes the
+        # entry-ordered id table
+        ids_e = (cl_e[..., None] * cluster
+                 + jnp.arange(cluster)[None, None, None]).reshape(S, -1)
+        slot_px = out[:, :, 1].reshape(S, gtiles * TILE).astype(jnp.int32)
+        g_parts.append(jnp.take_along_axis(ids_e, slot_px, axis=-1).reshape(
+            S, gtiles, ROWS, LANES))
+    t = jnp.concatenate(t_parts, axis=1).reshape(S, R)
+    gid = jnp.concatenate(g_parts, axis=1).reshape(S, R)
+    hit = t < max_depth
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
+
+
 def cull_stats(tris: Array, origins_c: Array, dirs_c: Array,
                max_depth: float = 20.0, cap: int = 256,
                img_w: Optional[int] = None) -> dict:
