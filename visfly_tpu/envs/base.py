@@ -348,10 +348,13 @@ class DroneGymEnv:
         return render_sensors(self, state)
 
     def render_objects(self, state: EnvState):
-        """Per-scene dynamic geometry visible to cameras/collisions beyond the
-        baked scene: (positions (S, M, 3), radii (S, M)) or None. The base
-        env exposes the ObjectManager objects; the multi-drone env adds the
-        drones themselves."""
+        """Per-scene dynamic geometry visible to cameras/collisions beyond
+        the baked scene: (positions (S, M, 3), radii (S, M), colors
+        (S, M, 3)[, mesh templates (S, M, K, 9), quats (S, M, 4)]) or None.
+        The base env exposes the ObjectManager objects; the multi-drone env
+        adds the drones themselves. Objects whose setting carries a
+        ``model_path`` render with their true triangle template
+        (`SceneManager.py:247-255`); the rest stay bounding spheres."""
         if self.objects is None or type(state.objects) is tuple:
             return None
         import numpy as np
@@ -363,11 +366,15 @@ class DroneGymEnv:
         colors = jnp.asarray(
             np.tile(instance_palette(m + 1)[1:][None], (S, 1, 1)),
             jnp.float32)
-        return (
+        out = (
             state.objects.pos.reshape(S, m, 3),
             self.objects.radius.reshape(S, m),
             colors,
         )
+        if self.objects.mesh is not None:
+            out = out + (self.objects.mesh.reshape(S, m, *self.objects.mesh.shape[1:]),
+                         None)
+        return out
 
     # -- helpers --------------------------------------------------------------
 

@@ -45,21 +45,48 @@ class MultiDroneGymEnv(DroneGymEnv):
         return jnp.broadcast_to(any_d, (self.num_scene, self.num_agent_per_scene)).reshape(-1)
 
     def render_objects(self, state: EnvState):
-        """Drones appear in each other's cameras (`SceneManager.py:201-202,
-        855-866`): every agent contributes a bounding sphere; rays
-        originating inside a sphere ignore it (tracer self-exclusion)."""
+        """Drones appear in each other's cameras as TRUE quadrotor
+        geometry posed with the airframe attitude — the reference inserts
+        per-agent DJI-Mavic GLBs (red/green/blue/orange) into every scene
+        graph (`SceneManager.py:201-202,853-866`). Rays originating inside
+        a body's bounding sphere ignore it (tracer self-exclusion)."""
+        import numpy as np
+
+        from ..scene.templates import drone_template
+
         S, A = self.num_scene, self.num_agent_per_scene
         drone_pos = state.dyn.pos.reshape(S, A, 3)
         drone_rad = jnp.full((S, A), self.uav_radius, state.dyn.pos.dtype)
-        # drone-body gray — the reference renders DJI-Mavic glbs
-        drone_col = jnp.full((S, A, 3), 110.0, state.dyn.pos.dtype)
+        # the reference's 4-color agent cycle (`SceneManager.py:253-255`)
+        cycle = np.asarray([[200.0, 60.0, 60.0], [60.0, 180.0, 60.0],
+                            [70.0, 90.0, 220.0], [230.0, 140.0, 40.0]],
+                           np.float32)
+        drone_col = jnp.asarray(
+            np.tile(cycle[np.arange(A) % 4][None], (S, 1, 1)),
+            state.dyn.pos.dtype)
+        tmpl = jnp.asarray(drone_template(float(self.uav_radius)))
+        drone_mesh = jnp.broadcast_to(tmpl, (S, A, *tmpl.shape))
+        drone_q = state.dyn.q.reshape(S, A, 4)
         parent = super().render_objects(state)
         if parent is None:
-            return drone_pos, drone_rad, drone_col
-        obj_pos, obj_rad, obj_col = parent
+            return drone_pos, drone_rad, drone_col, drone_mesh, drone_q
+        obj_pos, obj_rad, obj_col = parent[:3]
+        m = obj_pos.shape[1]
+        Ko = parent[3].shape[2] if len(parent) > 3 else 0
+        K = max(Ko, tmpl.shape[0])
+
+        def pad_k(x):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, K - x.shape[2]), (0, 0)))
+
+        obj_mesh = (pad_k(parent[3]) if len(parent) > 3
+                    else jnp.zeros((S, m, K, 9), tmpl.dtype))
+        obj_q = (parent[4] if len(parent) > 4 and parent[4] is not None
+                 else jnp.zeros((S, m, 4), drone_q.dtype).at[..., 0].set(1.0))
         return (jnp.concatenate([obj_pos, drone_pos], axis=1),
                 jnp.concatenate([obj_rad, drone_rad], axis=1),
-                jnp.concatenate([obj_col, drone_col], axis=1))
+                jnp.concatenate([obj_col, drone_col], axis=1),
+                jnp.concatenate([obj_mesh, pad_k(drone_mesh)], axis=1),
+                jnp.concatenate([obj_q, drone_q], axis=1))
 
     def _update_collision(self, dyn: DynState, once: Array, objects=(),
                           scene=None) -> Tuple[CollisionInfo, Array]:

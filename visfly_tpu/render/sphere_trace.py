@@ -493,6 +493,97 @@ def _object_sphere_hits(objects, o, d, max_depth):
     return t, t < max_depth, n, col
 
 
+def _object_mesh_hits(objects, o, d, max_depth):
+    """Nearest dynamic-object hit per ray with TRUE render geometry: each
+    object's local-frame triangle template (``objects[3]`` (S, M, K, 9),
+    zero rows = padding) is posed at its current position (+ optional unit
+    quaternion ``objects[4]`` (S, M, 4) — drone bodies rotate with the
+    airframe) and intersected exactly; all-zero templates fall back to the
+    analytic bounding sphere in the same pass. This is the tracer-side
+    equivalent of the reference inserting object/drone GLBs into the
+    habitat scene graph (`SceneManager.py:247-255,853-866`). The
+    self-exclusion rule is shared with the sphere path: rays whose origin
+    lies inside an object's bounding sphere ignore that object (a drone
+    never sees its own body). Returns (t, hit, normal, color) shaped like
+    :func:`_object_sphere_hits`."""
+    mesh = objects[3] if len(objects) > 3 else None
+    if mesh is None:
+        return _object_sphere_hits(objects, o, d, max_depth)
+    obj_pos, obj_radius = objects[0], objects[1]
+    obj_color = (objects[2] if objects[2] is not None
+                 else jnp.full(obj_pos.shape, 110.0, o.dtype))
+    quat = objects[4] if len(objects) > 4 else None
+    if quat is None:
+        quat = jnp.zeros((*obj_pos.shape[:2], 4), o.dtype).at[..., 0].set(1.0)
+
+    from ..core import quaternion as quat_mod
+
+    t0 = jnp.full(o.shape[:2], BIG, o.dtype)
+    n0 = jnp.zeros_like(o)
+
+    def body(carry, obj):
+        t, n, col = carry
+        c, r, oc_, tris_l, q = obj  # (S,3) (S,) (S,3) (S,K,9) (S,4)
+        has_mesh = jnp.any(jnp.abs(tris_l) > 0.0, axis=(-2, -1))  # (S,)
+        # bounding sphere (also the fallback + the self-exclusion test)
+        e = c[:, None] - o
+        b = jnp.sum(e * d, -1)
+        ee = jnp.sum(e * e, -1)
+        rr = (r * r)[:, None]
+        disc = b * b - (ee - rr)
+        ts = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        outside = ee > rr  # origin outside -> object visible to this ray
+        ok_s = ((disc > 0.0) & (ts > 1e-4) & outside & (r[:, None] > 1e-6)
+                & (ts < max_depth))
+        ts = jnp.where(ok_s, ts, BIG)
+        p_s = o + d * ts[..., None]
+        n_s = (p_s - c[:, None]) / jnp.maximum(r[:, None, None], 1e-9)
+
+        # posed template -> world triangles (S, K, 3, 3)
+        R = quat_mod.to_rotation_matrix(q)  # (S, 3, 3)
+        v_l = tris_l.reshape(*tris_l.shape[:-2], -1, 3)  # (S, 3K, 3)
+        v_w = jnp.einsum("sij,skj->ski", R, v_l) + c[:, None]
+        tri = v_w.reshape(*tris_l.shape[:-1], 3, 3)
+        a_, b_, c_ = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+        e1 = b_ - a_
+        e2 = c_ - a_
+        # Möller–Trumbore, rays (S, R, 3) × tris (S, K, 3): (S, R, K)
+        h = jnp.cross(d[:, :, None], e2[:, None])
+        det = jnp.sum(e1[:, None] * h, -1)
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        s_ = o[:, :, None] - a_[:, None]
+        u = jnp.sum(s_ * h, -1) * inv
+        qv = jnp.cross(s_, e1[:, None])
+        v = jnp.sum(d[:, :, None] * qv, -1) * inv
+        tk = jnp.sum(e2[:, None] * qv, -1) * inv
+        ok_m = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (tk > 1e-4) & (tk < max_depth))
+        tk = jnp.where(ok_m, tk, BIG)
+        kid = jnp.argmin(tk, -1)  # (S, R)
+        tm = jnp.take_along_axis(tk, kid[..., None], -1)[..., 0]
+        fn = jnp.cross(e1, e2)
+        fn = fn / jnp.maximum(
+            jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+        n_m = jnp.take_along_axis(fn, kid[..., None], axis=1)  # (S, R, 3)
+        # orient the face normal toward the viewer (templates are soups)
+        n_m = jnp.where(jnp.sum(n_m * d, -1, keepdims=True) > 0, -n_m, n_m)
+        tm = jnp.where(outside & has_mesh[:, None], tm, BIG)
+
+        t_obj = jnp.where(has_mesh[:, None], tm, ts)
+        n_obj = jnp.where(has_mesh[:, None, None], n_m, n_s)
+        better = t_obj < t
+        n = jnp.where(better[..., None], n_obj, n)
+        col = jnp.where(better[..., None], oc_[:, None], col)
+        return (jnp.minimum(t, t_obj), n, col), None
+
+    (t, n, col), _ = jax.lax.scan(
+        body, (t0, n0, jnp.zeros_like(o)),
+        (obj_pos.transpose(1, 0, 2), obj_radius.transpose(1, 0),
+         obj_color.transpose(1, 0, 2), mesh.transpose(1, 0, 2, 3),
+         quat.transpose(1, 0, 2)))
+    return t, t < max_depth, n, col
+
+
 def trace_rays(
     data,
     sid: Array,
@@ -640,6 +731,14 @@ def render_camera(
         # the 40-step march. "march": classic sphere trace (opt-in, e.g. for
         # custom SDFs or march-semantics comparisons).
         trace_mode = str(spec.get("trace_mode", "analytic"))
+        # objects carrying triangle templates (drone bodies, model_path
+        # objects) compose AFTER the trace with true geometry
+        # (`_object_mesh_hits`, shared with the tri/grid backends) — the
+        # kernel only ever sees the static scene; template-less object
+        # soups keep the historic in-kernel sphere path unchanged
+        mesh_objs = (objects is not None and len(objects) > 3
+                     and objects[3] is not None)
+        kern_objects = None if mesh_objs else objects
         use_pallas = (
             backend == "pallas"
             and jax.default_backend() == "tpu"
@@ -656,7 +755,7 @@ def render_camera(
                 o_c[:, :, None], (3, n, H * W)
             ).reshape(3, S, R)
             d_full = d_c.reshape(3, S, R)
-            kscene = prepare_kernel_scene(data, objects)
+            kscene = prepare_kernel_scene(data, kern_objects)
             t0 = jnp.zeros((S, R), o_full.dtype)
             # the winning-primitive id output is only materialised when
             # shading needs it (color/semantic) — depth renders skip the
@@ -686,6 +785,15 @@ def render_camera(
             hit = checkpoint_name(hit, "pallas_render")
             if kid is not None:
                 kid = checkpoint_name(kid, "pallas_render")
+            obj_px = None
+            if mesh_objs:
+                o_pm = jnp.transpose(o_full, (1, 2, 0))
+                d_pm = jnp.transpose(d_full, (1, 2, 0))
+                t_o, hit_o, n_o, c_o = _object_mesh_hits(objects, o_pm, d_pm,
+                                                         max_depth)
+                obj_px = hit_o & (t_o < jnp.where(hit, t, max_depth))
+                t = jnp.where(obj_px, t_o, t)
+                hit = hit | obj_px
             t_img = t.reshape(n, H, W)
             hit_img = hit.reshape(n, H, W)
             if stype == "depth":
@@ -693,8 +801,9 @@ def render_camera(
                                   max_depth)
                 return {"depth": depth[:, None, :, :]}
             # shading needs point-major arrays — convert once off the march
-            o_pm = jnp.transpose(o_full, (1, 2, 0))
-            d_pm = jnp.transpose(d_full, (1, 2, 0))
+            if not mesh_objs:
+                o_pm = jnp.transpose(o_full, (1, 2, 0))
+                d_pm = jnp.transpose(d_full, (1, 2, 0))
             p_hit = o_pm + d_pm * t[..., None]
             if kid is not None:
                 # the kernel reported the winning primitive — shading skips
@@ -703,6 +812,15 @@ def render_camera(
                                                   stype, lighting)
             else:
                 shaded = _shade_primitive(data, p_hit, hit, stype, lighting)
+            if obj_px is not None:
+                # object pixels shade with the OBJECT's albedo and mesh
+                # normal (the reference's GL pass over inserted GLBs,
+                # `SceneManager.py:252-254,853-866`)
+                if stype == "semantic":
+                    shaded = jnp.where(obj_px, 255.0, shaded)
+                else:
+                    rgb_o = c_o * lambert_shade(n_o, p_hit, lighting)
+                    shaded = jnp.where(obj_px[..., None], rgb_o, shaded)
             if stype == "semantic":
                 sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
                 return {"semantic": sem[:, None, :, :]}
@@ -746,7 +864,7 @@ def render_camera(
                     jnp.asarray(ttan)[None], (n, Tn)
                 ).reshape(S, (n // S) * Tn)
                 t_tile = trace_cones_grouped(
-                    data, to_g, td_g, tan_g, objects, n_steps, max_depth
+                    data, to_g, td_g, tan_g, kern_objects, n_steps, max_depth
                 )
                 # expand (n, Ht, Wt) tile depths to per-pixel warm starts
                 t_tile = t_tile.reshape(n, H // tile, W // tile)
@@ -765,7 +883,7 @@ def render_camera(
             # differentiable via the implicit-function-theorem custom VJP
             from .pallas_trace import pallas_trace_diff, prepare_kernel_scene
 
-            kscene = prepare_kernel_scene(data, objects)
+            kscene = prepare_kernel_scene(data, kern_objects)
             t0 = jnp.zeros((S, R), o_g.dtype) if t_init is None else t_init
             t, hit, _kid = pallas_trace_diff(kscene, o_g, d_g, t0,
                                              pixel_steps, max_depth)
@@ -776,12 +894,19 @@ def render_camera(
         else:
             compute_dtype = jnp.dtype(spec.get("render_dtype", "bfloat16"))
             trace_mode = str(spec.get("trace_mode", "analytic"))
-            t, hit = trace_grouped(data, o_g, d_g, objects, pixel_steps,
+            t, hit = trace_grouped(data, o_g, d_g, kern_objects, pixel_steps,
                                    max_depth, t_init=t_init,
                                    compute_dtype=compute_dtype,
                                    mode=trace_mode,
                                    refine_steps=int(
                                        spec.get("analytic_refine", 0)))
+        obj_px = None
+        if mesh_objs:
+            t_o, hit_o, n_o, c_o = _object_mesh_hits(objects, o_g, d_g,
+                                                     max_depth)
+            obj_px = hit_o & (t_o < jnp.where(hit, t, max_depth))
+            t = jnp.where(obj_px, t_o, t)
+            hit = hit | obj_px
         t_flat = t.reshape(n, H, W)
         hit_flat = hit.reshape(n, H, W)
         if stype == "depth":
@@ -789,6 +914,15 @@ def render_camera(
             return {"depth": depth[:, None, :, :]}
         p_hit = o_g + d_g * t[..., None]
         shaded = _shade_primitive(data, p_hit, hit, stype, lighting)
+        if obj_px is not None:
+            # object pixels: object albedo × mesh-normal Lambertian (the
+            # reference's GL pass over inserted GLBs, `SceneManager.py:
+            # 252-254,853-866`)
+            if stype == "semantic":
+                shaded = jnp.where(obj_px, 255.0, shaded)
+            else:
+                rgb_o = c_o * lambert_shade(n_o, p_hit, lighting)
+                shaded = jnp.where(obj_px[..., None], rgb_o, shaded)
         if stype == "semantic":
             sem = jnp.round(shaded).astype(jnp.uint8).reshape(n, H, W)
             return {"semantic": sem[:, None, :, :]}
@@ -830,13 +964,13 @@ def render_camera(
         hit = checkpoint_name(hit, "pallas_render")
         normal = checkpoint_name(normal, "pallas_render")
         tri_gid = checkpoint_name(tri_gid, "pallas_render")
-        # dynamic objects (other drones, moving obstacles) composed as
-        # analytic spheres — same visibility as the primitive kernels
+        # dynamic objects (other drones, moving obstacles) composed with
+        # their true triangle templates where available (sphere fallback)
         obj_px = jnp.zeros_like(hit)
         obj_col = None
         if objects is not None:
-            t_o, hit_o, n_o, c_o = _object_sphere_hits(objects, o_g3, d_g3,
-                                                       max_depth)
+            t_o, hit_o, n_o, c_o = _object_mesh_hits(objects, o_g3, d_g3,
+                                                     max_depth)
             obj_px = hit_o & (t_o < t)  # tri t is max_depth on misses
             normal = jnp.where(obj_px[..., None], n_o, normal)
             t = jnp.where(obj_px, t_o, t)
@@ -931,7 +1065,7 @@ def render_camera(
     obj_nrm_g = None
     if objects is not None:
         S_g = data.sdf.shape[0] if num_scene is None else num_scene
-        t_o, hit_o, n_o, c_o = _object_sphere_hits(
+        t_o, hit_o, n_o, c_o = _object_mesh_hits(
             objects, flat_o.reshape(S_g, R // S_g, 3),
             flat_d.reshape(S_g, R // S_g, 3), max_depth)
         t_o, hit_o = t_o.reshape(R), hit_o.reshape(R)

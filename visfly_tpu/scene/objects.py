@@ -29,6 +29,8 @@ class DynamicObjects(NamedTuple):
     period: Any  # (M,) seconds per cycle
     radius: Any  # (M,) bounding-sphere radius
     scene_of: Any  # (M,) int32 owning scene
+    mesh: Any = None  # (M, K, 9) local-frame render tris (zero rows = pad;
+    #                   all-zero object = sphere fallback), or None
 
     @property
     def num_objects(self):
@@ -143,8 +145,10 @@ def build_objects(
     ObjectManager per scene, `SceneManager.py:876-891`)."""
     import jax.numpy as jnp
 
+    from .templates import object_template, pad_templates
+
     rng = np.random.default_rng(seed)
-    tables, periods, radii, scene_of = [], [], [], []
+    tables, periods, radii, scene_of, meshes = [], [], [], [], []
     for sid in range(num_scene):
         for setting in obj_settings:
             for _ in range(int(setting.get("num", 1))):
@@ -163,13 +167,22 @@ def build_objects(
                     raise ValueError(f"unknown path class {cls!r}")
                 tables.append(tab)
                 periods.append(per)
-                radii.append(float(setting.get("radius", 0.25)))
+                rad = float(setting.get("radius", 0.25))
+                radii.append(rad)
                 scene_of.append(sid)
+                # true render geometry (the reference loads the setting's
+                # `model_path` GLB into the scene graph,
+                # `SceneManager.py:247-255`); absent -> sphere fallback
+                model = setting.get("model_path") or setting.get("mesh")
+                meshes.append(
+                    None if model is None else object_template(model, rad))
     return DynamicObjects(
         table=jnp.asarray(np.stack(tables)),
         period=jnp.asarray(np.asarray(periods, np.float32)),
         radius=jnp.asarray(np.asarray(radii, np.float32)),
         scene_of=jnp.asarray(np.asarray(scene_of, np.int32)),
+        mesh=(None if all(m is None for m in meshes)
+              else jnp.asarray(pad_templates(meshes))),
     )
 
 
