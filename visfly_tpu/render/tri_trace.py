@@ -416,7 +416,14 @@ def _cluster_activity(tris: Array, origins_c: Array, dirs_c: Array,
                  + spread[..., None] + hd[:, None]) > 0.0
         active = active & front
 
-    lb_all = jnp.maximum(dist - hd[:, None] - spread[..., None], 0.0)
+    # exact apex→AABB distance: tighter than centroid − half-diagonal by up
+    # to hd (measured on the 23k garage: early-out floor 28.2 → 25.7
+    # chunks/tile, examples/_cull_stats.py). Conservative: any hit x lies in
+    # the AABB, so t = |x−o| ≥ dist(o, AABB) ≥ dist(apex, AABB) − spread.
+    gap = jnp.maximum(clo[:, None] - apex_t[:, :, None],
+                      apex_t[:, :, None] - chi[:, None])
+    d_aabb = jnp.linalg.norm(jnp.maximum(gap, 0.0), axis=-1)
+    lb_all = jnp.maximum(d_aabb - spread[..., None], 0.0)
     lb_all = jnp.where(active, lb_all, BIG)
     return active, dist, lb_all
 
