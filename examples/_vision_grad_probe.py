@@ -77,13 +77,21 @@ def probe(grad_collision: bool, updates: int = 0):
         return loss.mean()
 
     gfn = jax.jit(jax.grad(term_loss))
-    out = {}
+    out, grads = {}, {}
     for i, name in enumerate(TERMS + ["TOTAL"]):
         w = (jnp.ones(len(TERMS)) if name == "TOTAL"
              else jnp.zeros(len(TERMS)).at[i].set(1.0))
         g = gfn(st.params, st.env_state, st.obs, st.key, w)
-        out[name] = float(
-            jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g))))
+        flat = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g)])
+        grads[name] = flat
+        out[name] = float(jnp.linalg.norm(flat))
+    # direction conflict: cosine of each collision term vs the rest of
+    # the objective (does the restored gradient fight the approach pull?)
+    rest = grads["approach"] + grads["view"] + grads["vel"] + grads["omega"]
+    for name in ("col_dis", "col_closing"):
+        denom = out[name] * float(jnp.linalg.norm(rest))
+        out[f"cos({name},task)"] = (
+            float(grads[name] @ rest) / denom if denom > 0 else float("nan"))
     return out
 
 

@@ -518,6 +518,15 @@ def test_camsoup_v2_matches_v1(interpret_pallas, monkeypatch):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
+    # MXU matmul body (`_tri_trace_pallas_camsoup_mx`): same prepass and
+    # scheduling, G-matrix payload — identical winners, t within fp32
+    # matmul rounding (HIGHEST-precision dot vs FMA chains)
+    t3, h3, n3, g3 = tt._tri_trace_pallas_camsoup_mx(tris, o_full, d_full,
+                                                     **kw)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h3))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t3), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
+
 
 def test_worklist_path_matches_xla(interpret_pallas):
     """Flattened-worklist dense-mesh path (`_tri_trace_pallas_worklist`):

@@ -103,6 +103,10 @@ SHARED_SOUP_MIN_T = 16384
 
 _SOUP_CLUSTER_OVERRIDE = None  # experiment hook: force the soup block size
 
+# dense-mesh camera kernel body: "mx" (matmul/MXU, default), "scalar"
+# (SMEM scalar pages), "merged" (scalar pages, merged ray operands)
+_CAMSOUP_VARIANT = "mx"
+
 
 def default_tri_cap(n_tris: int) -> int:
     """Mesh-size-scaled default for the per-tile compaction ``cap``.
@@ -687,7 +691,10 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
                     inv(n), inv(gid[..., None])[..., 0])
     if T > SHARED_SOUP_MIN_T and T % CLUSTER == 0:
         if whole_cams:
-            return _tri_trace_pallas_camsoup(
+            fn = {"mx": _tri_trace_pallas_camsoup_mx,
+                  "merged": _tri_trace_pallas_camsoup_v2,
+                  "scalar": _tri_trace_pallas_camsoup}[_CAMSOUP_VARIANT]
+            return fn(
                 tris, origins_c, dirs_c, max_depth, cap, img_w, cam_rays,
                 backface)
         return _tri_trace_pallas_soup(tris, origins_c, dirs_c, max_depth,
@@ -1184,6 +1191,198 @@ def _tri_trace_pallas_camsoup_v2(tris: Array, origins_c: Array,
 
     t = out[:, :, 0].reshape(S, R)
     gid = out[:, :, 1].reshape(S, R).astype(jnp.int32)
+    hit = t < max_depth
+    n = _normals_from_gid(tris, gid, dirs_c, hit)
+    return t, hit, n, gid
+
+
+# ---------------------------------------------------------------------------
+# MXU camsoup — the signed-volume test as one matmul per chunk (round 5)
+# ---------------------------------------------------------------------------
+#
+# The scalar-page camsoup body reads 10 SMEM scalars per triangle: measured
+# on v5e at 23k triangles that is ~36 ms of per-chunk 5 KB SMEM DMAs plus
+# the scalar-core loads — comparable to the vector math itself. Here the
+# page is a VECTOR operand instead: per (camera, chunk) a (8, 4·cluster)
+# fp32 G-matrix whose column blocks are [w0 | w1 | w2 | kt] coefficients,
+# so the whole 1024-ray × 128-triangle volume evaluation is ONE
+# (8,1024)ᵀ·(8,512) MXU matmul; the VPU keeps only the sign tests and the
+# running (ray, lane) min-slabs, and the per-ray reduction happens once per
+# tile instead of once per triangle.
+
+
+def _sv_pages_mx(tris: Array, cam_o: Array, cluster: int) -> Array:
+    """Per-camera signed-volume coefficients in MXU G-matrix layout.
+
+    (S, T, 9) × (S, cams, 3) → (S, cams, C, 8, 4·cluster): rows 0-2 carry
+    the xyz of gᵢ (column block i ∈ {0,1,2}), row 3 carries kt in block 3;
+    rows 4-7 pad the fp32 sublane tile. A ray direction extended to
+    d₈ = [dx dy dz 1 0 0 0 0] then gives W = d₈ · G with
+    W[:, i·cluster + j] = wᵢ of triangle j (and kt in block 3)."""
+    S, T = tris.shape[0], tris.shape[1]
+    a, b, c = tris[..., 0:3], tris[..., 3:6], tris[..., 6:9]
+    m0, e0 = jnp.cross(b, c), b - c
+    m1, e1 = jnp.cross(c, a), c - a
+    m2, e2 = jnp.cross(a, b), a - b
+    o = cam_o[:, :, None]                       # (S, cams, 1, 3)
+    g0 = m0[:, None] + jnp.cross(o, e0[:, None])
+    g1 = m1[:, None] + jnp.cross(o, e1[:, None])
+    g2 = m2[:, None] + jnp.cross(o, e2[:, None])
+    kt = jnp.sum((a[:, None] - o) * g0, -1)     # (S, cams, T)
+    cams = cam_o.shape[1]
+    C = T // cluster
+
+    def blk(x):  # (S, cams, T, 3) -> (S, cams, C, 3, cluster)
+        return x.reshape(S, cams, C, cluster, 3).swapaxes(-1, -2)
+
+    zero = jnp.zeros((S, cams, C, 1, cluster), tris.dtype)
+    row3 = jnp.concatenate([zero, zero, zero,
+                            kt.reshape(S, cams, C, 1, cluster)], -1)
+    top = jnp.concatenate([blk(g0), blk(g1), blk(g2),
+                           jnp.zeros((S, cams, C, 3, cluster), tris.dtype)],
+                          -1)                   # (S, cams, C, 3, 4·cluster)
+    g = jnp.concatenate([top, row3], -2)        # rows 0-3
+    return jnp.pad(g, ((0, 0),) * 3 + ((0, 4), (0, 0)))
+
+
+def _tri_kernel_camsoup_mx(nch_ref, lb_ref, cid_ref, pg_ref, d_ref, out_ref,
+                           acc_t, acc_g, worst_scr,
+                           *, n_chunks: int, max_depth: float, cluster: int,
+                           n_tris: int):
+    """MXU camsoup body. Running best lives as (TILE, cluster) min-slabs in
+    VMEM scratch — lane j of ray r holds the best hit among the lane-j
+    triangles of every chunk so far — so per chunk the VPU does only the
+    sign tests and two selects; the cross-lane min + arg-resolve runs once,
+    at tile finalisation. The occlusion `worst` refreshes from a full slab
+    reduce every 8 chunks (a stale-high bound is conservative: it only
+    skips less)."""
+    si, ti = pl.program_id(0), pl.program_id(1)
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_t[...] = jnp.full(acc_t.shape, BIG, jnp.float32)
+        acc_g[...] = jnp.zeros(acc_g.shape, jnp.float32)
+        worst_scr[0] = jnp.float32(max_depth)
+
+    @pl.when((ci < nch_ref[si, ti])
+             & (lb_ref[si, ti * n_chunks + ci] < worst_scr[0]))
+    def _body():
+        cid = cid_ref[si, ti * n_chunks + jnp.minimum(ci, nch_ref[si, ti] - 1)]
+        W = jax.lax.dot_general(
+            d_ref[0, 0], pg_ref[0, 0, 0],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (TILE, 4·cluster)
+        w0 = W[:, :cluster]
+        w1 = W[:, cluster:2 * cluster]
+        w2 = W[:, 2 * cluster:3 * cluster]
+        kt = W[:, 3 * cluster:]
+        ok = ((w0 * w1 >= 0.0) & (w0 * w2 >= 0.0) & (w1 * w2 >= 0.0))
+        tk = kt * (1.0 / (w0 + w1 + w2))
+        ok = ok & (tk > 1e-4)
+        tk = jnp.where(ok, tk, BIG)
+        told = acc_t[...]
+        better = tk < told
+        base = (cid * cluster).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.float32, tk.shape, 1)
+        acc_t[...] = jnp.where(better, tk, told)
+        acc_g[...] = jnp.where(better, base + lane, acc_g[...])
+
+    @pl.when((ci & 7) == 7)
+    def _refresh():
+        worst_scr[0] = jnp.minimum(
+            jnp.max(jnp.min(acc_t[...], axis=1)), jnp.float32(max_depth))
+
+    @pl.when(ci == n_chunks - 1)
+    def _finalise():
+        t_all = acc_t[...]
+        tmin = jnp.min(t_all, axis=1, keepdims=True)        # (TILE, 1)
+        g_all = jnp.where(t_all <= tmin, acc_g[...], jnp.float32(n_tris))
+        gmin = jnp.minimum(jnp.min(g_all, axis=1, keepdims=True),
+                           jnp.float32(n_tris - 1))
+        out_ref[0, 0] = jnp.concatenate(
+            [jnp.clip(tmin, 0.0, max_depth), gmin], axis=1)
+
+
+def _tri_trace_pallas_camsoup_mx(tris: Array, origins_c: Array,
+                                 dirs_c: Array, max_depth: float, cap: int,
+                                 img_w: int, cam_rays: int,
+                                 backface: bool = False
+                                 ) -> Tuple[Array, Array, Array]:
+    """Dense-mesh camera path with the matmul body (`_tri_kernel_camsoup_mx`):
+    identical prepass and scheduling to `_tri_trace_pallas_camsoup`, but the
+    payload is the vector G-matrix (VMEM block DMAs instead of SMEM scalar
+    pages) and the intersection maths ride the MXU."""
+    _, S, R = origins_c.shape
+    T = tris.shape[1]
+    tiles = R // TILE
+    tpc = cam_rays // TILE
+    sg = jax.lax.stop_gradient
+    cids, counts, lb_c, cluster = _cluster_ids_prepass(
+        tris, sg(origins_c), sg(dirs_c), max_depth, cap, img_w, backface)
+    n_chunks = cids.shape[2]
+    nch = jnp.clip(counts, 1, n_chunks).astype(jnp.int32)
+    cams = R // cam_rays
+    cam_o = sg(origins_c).reshape(3, S, cams, cam_rays)[..., 0]
+    pages = _sv_pages_mx(tris, cam_o.transpose(1, 2, 0), cluster)
+
+    groups = 1
+    while S * (tiles // groups) * n_chunks * 4 > 256 * 1024 \
+            and groups < tiles // tpc:
+        groups += 1
+        while (tiles // tpc) % groups:
+            groups += 1
+    gt = tiles // groups
+    gc = cams // groups
+
+    # d₈ = [d | 1 | 0-pad] per tile, contraction-major: (S, tiles, 8, TILE)
+    d8 = jnp.concatenate(
+        [dirs_c.reshape(3, S, tiles, TILE),
+         jnp.ones((1, S, tiles, TILE), dirs_c.dtype),
+         jnp.zeros((4, S, tiles, TILE), dirs_c.dtype)]).transpose(1, 2, 0, 3)
+
+    ray_spec = pl.BlockSpec((1, 1, 8, TILE),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, TILE, 2),
+                            lambda s, i, c, nch, lbc, cid: (s, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec(
+        (1, 1, 1, 8, 4 * cluster),
+        lambda s, i, c, nch, lbc, cid: (
+            s, i // tpc,
+            cid[s, i * n_chunks + jnp.minimum(c, nch[s, i] - 1)],
+            0, 0),
+        memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((S, gt, TILE, 2), jnp.float32)
+
+    pages, nch, lb_c, cids = jax.lax.optimization_barrier(
+        (pages, nch, lb_c, cids))
+    kernel = functools.partial(_tri_kernel_camsoup_mx, n_chunks=n_chunks,
+                               max_depth=max_depth, cluster=cluster,
+                               n_tris=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, gt, n_chunks),
+        in_specs=[pg_spec, ray_spec],
+        out_specs=[out_spec],
+        scratch_shapes=[pltpu.VMEM((TILE, cluster), jnp.float32),
+                        pltpu.VMEM((TILE, cluster), jnp.float32),
+                        pltpu.SMEM((1,), jnp.float32)],
+    )
+    call = pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=[out_sds])
+    parts = []
+    for g in range(groups):
+        tl = slice(g * gt, (g + 1) * gt)
+        parts.append(call(
+            nch[:, tl], lb_c[:, tl].reshape(S, gt * n_chunks),
+            cids[:, tl].reshape(S, gt * n_chunks),
+            pages[:, g * gc:(g + 1) * gc], d8[:, tl])[0])
+    out = jnp.concatenate(parts, axis=1)
+
+    t = out[..., 0].reshape(S, R)
+    gid = out[..., 1].reshape(S, R).astype(jnp.int32)
     hit = t < max_depth
     n = _normals_from_gid(tris, gid, dirs_c, hit)
     return t, hit, n, gid
