@@ -83,12 +83,16 @@ def main():
                    help="force the soup kernel block size")
     p.add_argument("--backface", action="store_true",
                    help="cull backfacing clusters (exact: closed mesh)")
+    p.add_argument("--variant", choices=["mx", "merged", "scalar"],
+                   default=None, help="force the dense camera kernel body")
     args = p.parse_args()
 
     from visfly_tpu.render.camera import camera_rays_components
     import visfly_tpu.render.tri_trace as tt
     if args.cluster:
         tt._SOUP_CLUSTER_OVERRIDE = args.cluster
+    if args.variant:
+        tt._CAMSOUP_VARIANT = args.variant
     from visfly_tpu.render.tri_trace import (default_tri_cap, pack_triangles,
                                              tri_trace_pallas, tri_trace_xla)
 
