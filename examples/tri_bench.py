@@ -83,7 +83,7 @@ def main():
                    help="force the soup kernel block size")
     p.add_argument("--backface", action="store_true",
                    help="cull backfacing clusters (exact: closed mesh)")
-    p.add_argument("--variant", choices=["mx", "merged", "scalar"],
+    p.add_argument("--variant", choices=["mx", "merged", "scalar", "wl"],
                    default=None, help="force the dense camera kernel body")
     args = p.parse_args()
 

@@ -132,6 +132,14 @@ def test_tri_camsoup_tier_on_tpu(camera_workload):
     _check(t, hit, t_x, hit_x)
 
 
+def test_tri_camsoup_mx_tier_on_tpu(camera_workload):
+    # t re-derived through an fp32 matmul: slightly looser atol
+    tris, o_full, d_full, t_x, hit_x = camera_workload
+    t, hit, *_ = tt._tri_trace_pallas_camsoup_mx(
+        tris, o_full, d_full, 20.0, tris.shape[1], 64, 64 * 64, False)
+    _check(t, hit, t_x, hit_x, atol=5e-3)
+
+
 def test_tri_worklist_tier_on_tpu(camera_workload):
     tris, o_full, d_full, t_x, hit_x = camera_workload
     t, hit, *_ = tt._tri_trace_pallas_worklist(

@@ -103,9 +103,17 @@ SHARED_SOUP_MIN_T = 16384
 
 _SOUP_CLUSTER_OVERRIDE = None  # experiment hook: force the soup block size
 
-# dense-mesh camera kernel body: "mx" (matmul/MXU, default), "scalar"
-# (SMEM scalar pages), "merged" (scalar pages, merged ray operands)
-_CAMSOUP_VARIANT = "mx"
+# dense-mesh camera kernel body: "scalar" (SMEM scalar pages, default),
+# "merged" (scalar pages, merged ray operands), "mx" (matmul/MXU),
+# "wl" (flattened prefix-sum worklist). Defaults to the measured winner:
+# on v5e at 23k tris/256 cams the MXU body is 156.7 ms vs scalar's 84.9
+# in the same lane (its (8, 4·cluster) G-matrix payload is ~750 MB of HBM
+# traffic per frame vs the scalar page's 236 MB — the matmul saves VPU
+# time it then loses 2× over in payload bandwidth), and the worklist path
+# is 642 ms (its 16-triangle cull granularity makes the XLA-side prepass
+# + contiguous row gather dominate everything the dead-step removal
+# saves). Both bodies stay: parity-tested, selectable for re-measurement.
+_CAMSOUP_VARIANT = "scalar"
 
 
 def default_tri_cap(n_tris: int) -> int:
@@ -693,7 +701,8 @@ def tri_trace_pallas(tris: Array, origins_c: Array, dirs_c: Array,
         if whole_cams:
             fn = {"mx": _tri_trace_pallas_camsoup_mx,
                   "merged": _tri_trace_pallas_camsoup_v2,
-                  "scalar": _tri_trace_pallas_camsoup}[_CAMSOUP_VARIANT]
+                  "scalar": _tri_trace_pallas_camsoup,
+                  "wl": _tri_trace_pallas_worklist}[_CAMSOUP_VARIANT]
             return fn(
                 tris, origins_c, dirs_c, max_depth, cap, img_w, cam_rays,
                 backface)
@@ -1209,6 +1218,14 @@ def _tri_trace_pallas_camsoup_v2(tris: Array, origins_c: Array,
 # (8,1024)ᵀ·(8,512) MXU matmul; the VPU keeps only the sign tests and the
 # running (ray, lane) min-slabs, and the per-ray reduction happens once per
 # tile instead of once per triangle.
+#
+# MEASURED SLOWER on-chip (v5e, 23k tris / 256 cams, backface, same lane):
+# 156.7 ms vs the scalar body's 84.9 (65.3 in a fast lane). The G-matrix
+# page is (8, 4·cluster) fp32 per (camera, chunk) — ~750 MB of HBM payload
+# per frame vs the scalar page's 236 MB — so what the matmul saves in VPU
+# time it loses 2× over in payload bandwidth + build cost. Kept as the
+# "mx" `_CAMSOUP_VARIANT` (parity-tested, on-TPU lane) for re-measurement
+# on parts with fatter HBM.
 
 
 def _sv_pages_mx(tris: Array, cam_o: Array, cluster: int) -> Array:
@@ -1285,7 +1302,9 @@ def _tri_kernel_camsoup_mx(nch_ref, lb_ref, cid_ref, pg_ref, d_ref, out_ref,
         told = acc_t[...]
         better = tk < told
         base = (cid * cluster).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.float32, tk.shape, 1)
+        # Mosaic only lowers integer iota; convert after (fp32 exact < 2^24)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, tk.shape, 1).astype(jnp.float32)
         acc_t[...] = jnp.where(better, tk, told)
         acc_g[...] = jnp.where(better, base + lane, acc_g[...])
 
@@ -1407,6 +1426,16 @@ def _tri_trace_pallas_camsoup_mx(tris: Array, origins_c: Array,
 #    contract as `cap`: far field -> background, never a missing near hit)
 #  * gather each scheduled chunk's 128 signed-volume rows CONTIGUOUSLY in
 #    worklist order, so the kernel's page DMA is one sequential stream
+#
+# MEASURED SLOWER on-chip (v5e, backface, same lane as the 84.9 ms scalar
+# run): 642.5 ms at 23k tris, 410.6 at 92k. The 16-triangle cull
+# granularity that makes the worklist tight also makes the XLA-side
+# prepass 8× wider (O(tiles·T/16) activity + top_k over 4× more
+# clusters) and turns the per-entry contiguous row gather into the
+# dominant cost — the dead grid steps it removes were already the CHEAP
+# steps (lb-skipped, ~0.4 µs). Kept as the "wl" `_CAMSOUP_VARIANT`
+# (parity-tested, on-TPU lane): the scheduling idea is sound if the
+# worklist could be built on-chip, but Pallas grids are static.
 
 WL_CLUSTER = 16   # cull granularity (swept 16/32/64: rows/tile 1807 /
 #                   2399 / 3243 on the 23k garage with backface)
