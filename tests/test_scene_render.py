@@ -337,3 +337,70 @@ def test_lighting_config_end_to_end_env():
     st2, _ = env2.reset(jax.random.PRNGKey(0))
     img2 = np.asarray(env2.sensor_observations(st2)["color"])
     assert img.shape == img2.shape and (img != img2).any()
+
+
+def test_shadow_rays_exact_tri_backend(tmp_path):
+    """Opt-in shadow rays on the exact-triangle backend (habitat GL
+    shadow-maps the same geometry): a blocker quad between the light and a
+    wall darkens exactly the occluded wall pixels; no pixel ever gets
+    BRIGHTER from enabling shadows; a point light placed nearer than the
+    blocker casts none."""
+    from visfly_tpu.render.sphere_trace import (bake_lighting, render_camera,
+                                                shadow_visibility)
+    from visfly_tpu.scene.mesh import bake_mesh_scene
+
+    # unit test on the visibility query itself ---------------------------
+    # one floor triangle at z=0 plus a 1×1 blocker quad at z=2
+    tri = jnp.asarray([[
+        [-9, -9, 0, 9, -9, 0, 0, 9, 0],            # floor
+        [-.5, -.5, 2, .5, -.5, 2, -.5, .5, 2],     # blocker half 1
+        [.5, -.5, 2, .5, .5, 2, -.5, .5, 2],       # blocker half 2
+    ]], jnp.float32)
+    p = jnp.asarray([[[0.0, 0.0, 0.0], [4.0, 0.0, 0.0]]])   # on the floor
+    nrm = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]])
+    lit = bake_lighting({"shadows": True, "lights": [
+        {"type": "directional", "direction": [0, 0, -1]},   # from above
+        {"type": "point", "position": [0.0, 0.0, 1.0]},     # BELOW blocker
+    ]})
+    vis = np.asarray(shadow_visibility(tri, p, nrm, lit))   # (1, 2, L)
+    assert vis[0, 0, 0] == 0.0   # under the blocker, sun occluded
+    assert vis[0, 1, 0] == 1.0   # off to the side: lit
+    assert vis[0, 0, 1] == 1.0   # point light nearer than the blocker
+    assert vis[0, 1, 1] == 1.0
+
+    # end-to-end through the tri RGB path --------------------------------
+    # wall at x=5 (viewed face) + small blocker; light tilted so the
+    # blocker sits outside the shadowed pixels' view rays
+    v = np.asarray([
+        [5, -6, -6], [5, 6, -6], [5, 6, 6], [5, -6, 6],      # wall
+        [2.5, -2.8, -0.4], [2.5, -2.0, -0.4],
+        [2.5, -2.0, 0.4], [2.5, -2.8, 0.4],                  # blocker
+    ], np.float32)
+    f = np.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    obj = tmp_path / "wall.obj"
+    with open(obj, "w") as fo:
+        for vv in v:
+            fo.write(f"v {vv[0]} {vv[1]} {vv[2]}\n")
+        for t in f:
+            fo.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+    data = bake_mesh_scene(str(obj), spacing=0.25, margin=1.0)
+
+    pos = jnp.asarray([[0.0, 0.0, 0.0]])
+    q = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    sid = jnp.zeros(1, jnp.int32)
+    spec = {"uuid": "color", "sensor_type": "color", "resolution": [32, 32]}
+    cfg = {"ambient": 0.15, "lights": [
+        {"type": "directional", "direction": [1.0, 1.0, 0.0],
+         "intensity": 1.2}]}
+    plain = np.asarray(render_camera(
+        data, sid, pos, q, spec,
+        lighting=bake_lighting(cfg))["color"]).astype(int)
+    shad = np.asarray(render_camera(
+        data, sid, pos, q, spec,
+        lighting=bake_lighting({**cfg, "shadows": True}))["color"]
+    ).astype(int)
+    # shadows only ever remove light
+    assert (shad <= plain + 1).all()
+    # and some wall pixels are actually darkened by the blocker
+    darkened = (plain - shad) > 20
+    assert darkened.any(), "no shadowed pixels found"

@@ -61,8 +61,11 @@ def bake_lighting(cfg) -> Optional[tuple]:
 
     Returns (kind (L,) f32 — 0 directional / 1 point, vec (L, 3) —
     TO-light unit direction or position, color (L, 3) color·intensity,
-    ambient (), attenuation ()); ``None`` when cfg is falsy (the default
-    single fixed directional light — all golden tests unchanged)."""
+    ambient (), attenuation (), shadows bool); ``None`` when cfg is falsy
+    (the default single fixed directional light — all golden tests
+    unchanged). ``"shadows": true`` casts one occlusion ray per light on
+    the EXACT-TRIANGLE backend (habitat's GL renderer shadow-maps the same
+    geometry); other backends ignore it (documented in DEVIATIONS)."""
     if not cfg:
         return None
     lights = cfg.get("lights", ())
@@ -89,25 +92,80 @@ def bake_lighting(cfg) -> Optional[tuple]:
             jnp.asarray(np.stack(vec), jnp.float32).reshape(L, 3),
             jnp.asarray(np.stack(col), jnp.float32).reshape(L, 3),
             jnp.float32(cfg.get("ambient", 0.35)),
-            jnp.float32(cfg.get("attenuation", 0.0)))
+            jnp.float32(cfg.get("attenuation", 0.0)),
+            bool(cfg.get("shadows", False)))
 
 
-def lambert_shade(n: Array, p: Array, lighting) -> Array:
+def lambert_shade(n: Array, p: Array, lighting, vis: Optional[Array] = None
+                  ) -> Array:
     """Lambertian shade multiplier (..., 3) from normal ``n`` and hit point
     ``p`` (both (..., 3)). ``lighting=None`` reproduces the historic fixed
-    ``0.35 + 0.65·max(n·L, 0)`` single directional light exactly."""
+    ``0.35 + 0.65·max(n·L, 0)`` single directional light exactly.
+    ``vis`` (..., L) ∈ [0,1] masks each light's diffuse term (shadow-ray
+    visibility from the exact-tri backend); ambient is never masked."""
     if lighting is None:
         lam = jnp.maximum(jnp.sum(n * _LIGHT_DIR, -1), 0.0)
         return jnp.broadcast_to((0.35 + 0.65 * lam)[..., None],
                                 (*lam.shape, 3))
-    kind, vec, col, ambient, atten = lighting
+    kind, vec, col, ambient, atten = lighting[:5]
     to = vec - p[..., None, :]                      # (..., L, 3) point light
     d2 = jnp.sum(to * to, -1)
     l_pt = to * jax.lax.rsqrt(jnp.maximum(d2, 1e-12))[..., None]
     l = jnp.where(kind[:, None] > 0.5, l_pt, vec)   # (..., L, 3)
     lam = jnp.maximum(jnp.sum(n[..., None, :] * l, -1), 0.0)  # (..., L)
     w = jnp.where(kind > 0.5, 1.0 / (1.0 + atten * d2), 1.0)
+    if vis is not None:
+        w = w * vis
     return ambient + jnp.sum((lam * w)[..., None] * col, axis=-2)
+
+
+def shadow_visibility(tri: Array, p: Array, nrm: Array, lighting,
+                      slab: int = 512) -> Array:
+    """Per-light shadow-ray visibility for exact-triangle scenes.
+
+    One any-hit occlusion ray per (surface point, light): from
+    ``p + 1e-3·n`` toward the light, blocked iff any scene triangle
+    intersects strictly before the light (point lights) or anywhere along
+    the ray (directional). The habitat reference shadow-maps the same
+    geometry through GL; here it is a slab-scanned Möller–Trumbore any-hit
+    over the true soup (O(rays × T), opt-in via ``"shadows": true``).
+
+    tri (S, T, 9) · p/nrm (S, R, 3) → vis (S, R, L) ∈ {0, 1}.
+    """
+    kind, vec, _, _, _ = lighting[:5]
+    L = kind.shape[0]
+    to = vec - p[:, :, None, :]                        # (S, R, L, 3)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to * to, -1), 1e-12))
+    ldir = jnp.where(kind[:, None] > 0.5, to / dist[..., None],
+                     jnp.broadcast_to(vec, to.shape))  # unit, to-light
+    tmax = jnp.where(kind > 0.5, dist, BIG)            # (S, R, L)
+    o = (p + 1e-3 * nrm)[:, :, None, None, :]          # (S, R, 1, 1, 3)
+
+    S, T = tri.shape[0], tri.shape[1]
+    pad = (-T) % slab
+    trip = jnp.pad(tri, ((0, 0), (0, pad), (0, 0)))    # degenerate rows
+    trs = trip.reshape(S, trip.shape[1] // slab, slab, 9).swapaxes(0, 1)
+
+    def body(occ, tr):                                 # tr (S, slab, 9)
+        a = tr[:, None, None, :, 0:3]                  # (S, 1, 1, slab, 3)
+        e1 = tr[:, None, None, :, 3:6] - a
+        e2 = tr[:, None, None, :, 6:9] - a
+        d5 = ldir[:, :, :, None, :]                    # (S, R, L, 1, 3)
+        pv = jnp.cross(d5, e2)
+        det = jnp.sum(e1 * pv, -1)                     # (S, R, L, slab)
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        tv = o - a
+        u = jnp.sum(tv * pv, -1) * inv
+        qv = jnp.cross(tv, e1)
+        v = jnp.sum(d5 * qv, -1) * inv
+        t = jnp.sum(e2 * qv, -1) * inv
+        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+               & (u + v <= 1.0) & (t > 1e-3) & (t < tmax[..., None]))
+        return occ | jnp.any(hit, -1), None
+
+    occ0 = jnp.zeros((S, p.shape[1], L), bool)
+    occ, _ = jax.lax.scan(body, occ0, trs)
+    return jnp.where(occ, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1048,7 +1106,15 @@ def render_camera(
             # pass (`SceneManager.py:252-254`); previously these shaded 0
             albedo = jnp.where(obj_f[:, None], obj_col.reshape(-1, 3),
                                albedo)
-        shade = lambert_shade(normal.reshape(-1, 3), p_hit3, lighting)
+        vis = None
+        if lighting is not None and len(lighting) > 5 and lighting[5]:
+            # opt-in shadow rays against the true soup (exact-tri backend
+            # only; dynamic-object templates receive but don't cast)
+            vis = shadow_visibility(
+                tri, (o_g3 + d_g3 * t[..., None]),
+                normal.reshape(S, Rs, 3), lighting)
+            vis = vis.reshape(n * H * W, -1)
+        shade = lambert_shade(normal.reshape(-1, 3), p_hit3, lighting, vis)
         rgb = jnp.clip(albedo * shade, 0, 255)
         rgb = jnp.where(hit_f[:, None], rgb, 0.0).reshape(n, H, W, 3)
         return {"color": jnp.transpose(rgb, (0, 3, 1, 2)).astype(jnp.uint8)}
