@@ -1220,12 +1220,21 @@ def _tri_trace_pallas_camsoup_v2(tris: Array, origins_c: Array,
 # tile instead of once per triangle.
 #
 # MEASURED SLOWER on-chip (v5e, 23k tris / 256 cams, backface, same lane):
-# 156.7 ms vs the scalar body's 84.9 (65.3 in a fast lane). The G-matrix
-# page is (8, 4·cluster) fp32 per (camera, chunk) — ~750 MB of HBM payload
-# per frame vs the scalar page's 236 MB — so what the matmul saves in VPU
-# time it loses 2× over in payload bandwidth + build cost. Kept as the
-# "mx" `_CAMSOUP_VARIANT` (parity-tested, on-TPU lane) for re-measurement
-# on parts with fatter HBM.
+# 156.7 ms vs the scalar body's 84.9 (65.3 in a fast lane). Two compounding
+# reasons. (1) Payload: the G-matrix page is (8, 4·cluster) fp32 per
+# (camera, chunk) — each triangle's 10 coefficients padded into 32 slots —
+# ~750 MB of HBM payload per frame vs the scalar page's 236 MB. (2) The
+# STRUCTURAL one: the signed-volume test contracts over only 8 values
+# (dx, dy, dz, 1 + padding), so the systolic array runs at 8/128 = 6% of
+# its contraction depth — a (1024,8)·(8,512) chunk matmul costs the same
+# MXU passes as a 128-deep one, leaving effective matmul throughput only
+# ~1.6× the VPU's 8×128 FMA lanes, nowhere near enough to buy back the
+# payload inflation and the (TILE, cluster) slab bookkeeping. A ray–tri
+# intersection simply has arithmetic intensity 8 MACs/output — there is
+# no reformulation that deepens the contraction without replicating
+# payload, so the VPU body is the right engine for this op on this
+# hardware. Kept as the "mx" `_CAMSOUP_VARIANT` (parity-tested, on-TPU
+# lane) for re-measurement on parts with different MXU/VPU ratios.
 
 
 def _sv_pages_mx(tris: Array, cam_o: Array, cluster: int) -> Array:
